@@ -1,0 +1,559 @@
+"""Check compiler: schema nodes -> fused Catalyst column expressions.
+
+This is the engine's replacement for the reference's recursive descent
+interpreter (``_validate``, /root/reference/src/schisma.mjs:137-357). Where
+the reference walks one JS value at a time, we compile the whole walk ONCE
+on the driver into three Columns per node:
+
+- ``viols`` — ``array<violation-struct>`` of flattened problem results with
+  dot-paths already built (the reference flattens after the fact,
+  schisma.mjs:117-133; we emit flat from the start, PARTIAL carriers never
+  materialize — schisma.mjs:132 drops them anyway)
+- ``code``  — the node's own result code (for union scoring / non-error mode)
+- ``h``     — the union heuristic value (``_getHeuristics``,
+  schisma.mjs:359-394): EXACT +2 (+children), problems -1, others +1,
+  PARTIAL = sum of children
+
+Union (``$typeof``) resolution picks the first argmax of ``h`` across
+alternatives (``_getBestResult``, schisma.mjs:359-363) — expressed as
+``array_position(h_arr, array_max(h_arr))`` so the whole heuristic runs
+vectorized in the JVM for every row at once. No Python executes per row
+anywhere in this module.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from schisma_spark import typeatoms as ta
+from schisma_spark.dsl import ArrayAlt, AtomAlt, Node, ObjectAlt
+from schisma_spark.result import (
+    EXACT_MATCH,
+    INVALID,
+    MISSING_KEY,
+    NO_MATCH,
+    PARTIAL_MATCH,
+    PROBLEM_CODES,
+    UNEXPECTED_KEY,
+    VALID,
+    VIOLATION_STRUCT,
+)
+
+VIOL_ARR_T = T.ArrayType(VIOLATION_STRUCT)
+
+
+@dataclass(frozen=True)
+class Opts:
+    """Validate option surface — same names/defaults as the reference
+    (schisma.mjs:110; README.md:243-250). ``match_array`` is accepted but
+    inert, faithfully: the reference documents it and never reads it in
+    ``_validate`` (SURVEY.md §2.A R3)."""
+
+    ignore_unexpected: bool = False
+    ignore_required: bool = False
+    ignore_short_arrays: bool = True
+    ignore_long_arrays: bool = True
+    match_array: str = "any"
+    flatten_errors: bool = True   # results are always emitted flat
+    filter_non_errors: bool = True
+
+
+@dataclass
+class CheckRes:
+    """Compiled result triple for one node applied to one column expr."""
+
+    viols: Column  # array<violation>
+    code: Column   # string
+    h: Column      # int
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+
+
+def _s(x) -> Column:
+    if x is None:
+        return F.lit(None).cast("string")
+    return x if isinstance(x, Column) else F.lit(str(x))
+
+
+def viol(code, where=None, expected=None, received=None, value=None,
+         message=None, type_index=None) -> Column:
+    ti = (
+        F.lit(None).cast("int")
+        if type_index is None
+        else (type_index if isinstance(type_index, Column) else F.lit(type_index)).cast("int")
+    )
+    return F.struct(
+        _s(code).alias("code"),
+        _s(where).alias("where"),
+        _s(expected).alias("expected"),
+        _s(received).alias("received"),
+        _s(value).alias("value"),
+        _s(message).alias("message"),
+        ti.alias("type_index"),
+    )
+
+
+def empty_varr() -> Column:
+    return F.array().cast(VIOL_ARR_T)
+
+
+def varr(*conditional_structs: Column) -> Column:
+    """array of maybe-null violation structs -> compacted array."""
+    if not conditional_structs:
+        return empty_varr()
+    return F.filter(F.array(*conditional_structs), lambda x: x.isNotNull())
+
+
+def stringify(c: Column, dtype: T.DataType) -> Column:
+    """Portable string rendering of a value for the ``value`` field."""
+    if isinstance(dtype, (T.StructType, T.MapType, T.ArrayType)):
+        return F.to_json(c)
+    if isinstance(dtype, T.BinaryType):
+        return F.base64(c)
+    if isinstance(dtype, T.NullType):
+        return F.lit(None).cast("string")
+    return c.cast("string")
+
+
+def describe_expected(node: Node) -> str:
+    """Human label for what a node expects (used in NO_MATCH.expected)."""
+    names = []
+    for a in node.alts:
+        if isinstance(a, AtomAlt):
+            names.append(a.atom.name)
+        elif isinstance(a, ArrayAlt):
+            names.append("array")
+        elif isinstance(a, ObjectAlt):
+            names.append("object")
+        elif isinstance(a, Node):
+            names.append(describe_expected(a))
+    return "|".join(names) if names else "value"
+
+
+def _const(viols: Column, code: str, h: int) -> CheckRes:
+    return CheckRes(viols, F.lit(code), F.lit(h).cast("int"))
+
+
+def is_problem(code: Column) -> Column:
+    return code.isin(*PROBLEM_CODES)
+
+
+# ---------------------------------------------------------------------------
+# node check
+
+
+def check_node(node: Node, c: Column, dtype: T.DataType, where: Column,
+               opts: Opts, type_index=None) -> CheckRes:
+    """Compile the full check for ``node`` against column expr ``c`` of
+    static type ``dtype``. ``where`` is a (possibly NULL at root) string
+    Column holding the dot-path of ``c``."""
+    if node.unmarshal is not None:
+        c = node.unmarshal.fn(c)
+        dtype = node.unmarshal.returns
+
+    if node.validate is not None:
+        # $validate short-circuits type dispatch (schisma.mjs:141-172).
+        # The user fn may return: a bool Column; (bool Column, message); or
+        # (bool Column, dict of violation-field overrides) — the engine twin
+        # of the reference's merged error object (schisma.mjs:153-157).
+        res = node.validate(c)
+        extra: dict = {}
+        if isinstance(res, tuple):
+            res, second = res
+            extra = dict(second) if isinstance(second, dict) else {"message": second}
+        ok = F.coalesce(res, F.lit(True))  # undefined/true -> valid
+        fields = {
+            "where": where,
+            "value": stringify(c, dtype),
+            "type_index": type_index,
+            **extra,
+        }
+        viols = varr(F.when(~ok, viol(INVALID, **fields)))
+        code = F.when(ok, F.lit(VALID)).otherwise(F.lit(INVALID))
+        h = F.when(ok, F.lit(1)).otherwise(F.lit(-1)).cast("int")
+        return CheckRes(viols, code, h)
+
+    results = [
+        check_alt(alt, i if len(node.alts) > 1 else type_index, node, c,
+                  dtype, where, opts)
+        for i, alt in enumerate(node.alts)
+    ]
+    if not results:
+        return _const(empty_varr(), VALID, 1)
+    if len(results) == 1:
+        return results[0]
+    # union resolution: first argmax of h (schisma.mjs:357-363)
+    h_arr = F.array(*[r.h for r in results])
+    best = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
+    viols = F.element_at(F.array(*[r.viols for r in results]), best)
+    code = F.element_at(F.array(*[r.code for r in results]), best)
+    return CheckRes(viols, code, F.array_max(h_arr))
+
+
+def checked_value(node: Node, c: Column, dtype: T.DataType, where: Column,
+                  opts: Opts) -> CheckRes:
+    """Check a node against a value position where SQL NULL means the JS
+    value ``null`` (array elements, map values) rather than an absent key."""
+    base = check_node(node, c, dtype, where, opts)
+    if node.accepts_null() or node.validate is not None:
+        return base
+    nm = viol(
+        NO_MATCH, where=where, expected=describe_expected(node),
+        received="null", value=None,
+    )
+    return CheckRes(
+        F.when(c.isNull(), F.array(nm)).otherwise(base.viols),
+        F.when(c.isNull(), F.lit(NO_MATCH)).otherwise(base.code),
+        F.when(c.isNull(), F.lit(-1)).otherwise(base.h).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# alternatives
+
+
+def check_alt(alt, idx, node: Node, c: Column, dtype: T.DataType,
+              where: Column, opts: Opts) -> CheckRes:
+    if isinstance(alt, Node):
+        return check_node(alt, c, dtype, where, opts, type_index=idx)
+    if isinstance(alt, AtomAlt):
+        return _check_atom(alt.atom, idx, node, c, dtype, where)
+    if isinstance(alt, ArrayAlt):
+        return _check_array(alt, idx, c, dtype, where, opts)
+    if isinstance(alt, ObjectAlt):
+        return _check_object(alt, idx, c, dtype, where, opts)
+    raise TypeError(f"bad alternative {alt!r}")
+
+
+def _check_atom(atom: ta.TypeAtom, idx, node: Node, c: Column,
+                dtype: T.DataType, where: Column) -> CheckRes:
+    """Primitive/Class typeof check (schisma.mjs:336-351), decided statically
+    per column where possible (a Spark column has one type)."""
+    if atom is ta.NULL:
+        ok = c.isNull()
+        nm = viol(NO_MATCH, where=where, expected="null",
+                  received=ta.js_typeof(dtype), value=stringify(c, dtype),
+                  type_index=idx)
+        return CheckRes(
+            varr(F.when(~ok, nm)),
+            F.when(ok, F.lit(EXACT_MATCH)).otherwise(F.lit(NO_MATCH)),
+            F.when(ok, F.lit(2)).otherwise(F.lit(-1)).cast("int"),
+        )
+
+    sm = ta.static_match(atom, dtype)
+    if sm == "match":
+        return _const(empty_varr(), EXACT_MATCH, 2)
+
+    # engine extension: Field(castable=True) turns the typeof check into a
+    # try_cast conformance check (SURVEY.md §2.A R6 / E4 conformance rate)
+    if node.castable and isinstance(dtype, T.StringType) and atom in (
+        ta.NUMBER, ta.BIGINT, ta.BOOLEAN, ta.TIMESTAMP, ta.DATE,
+    ):
+        ok = c.try_cast(atom.spark_type).isNotNull() | c.isNull()
+        nm = viol(NO_MATCH, where=where, expected=atom.name,
+                  received=ta.js_typeof(dtype), value=stringify(c, dtype),
+                  type_index=idx)
+        return CheckRes(
+            varr(F.when(~ok, nm)),
+            F.when(ok, F.lit(EXACT_MATCH)).otherwise(F.lit(NO_MATCH)),
+            F.when(ok, F.lit(2)).otherwise(F.lit(-1)).cast("int"),
+        )
+
+    if sm == "integral":
+        ok = c.isNull() | (c == F.floor(c))
+        nm = viol(NO_MATCH, where=where, expected=atom.name,
+                  received=ta.js_typeof(dtype), value=stringify(c, dtype),
+                  type_index=idx)
+        return CheckRes(
+            varr(F.when(~ok, nm)),
+            F.when(ok, F.lit(EXACT_MATCH)).otherwise(F.lit(NO_MATCH)),
+            F.when(ok, F.lit(2)).otherwise(F.lit(-1)).cast("int"),
+        )
+
+    # static mismatch: every (non-null) value is NO_MATCH
+    nm = viol(NO_MATCH, where=where, expected=atom.name,
+              received=ta.js_typeof(dtype), value=stringify(c, dtype),
+              type_index=idx)
+    return _const(F.array(nm), NO_MATCH, -1)
+
+
+def _check_array(alt: ArrayAlt, idx, c: Column, dtype: T.DataType,
+                 where: Column, opts: Opts) -> CheckRes:
+    """Array check (schisma.mjs:181-229): per-element best-of element
+    schemas, long arrays -> UNEXPECTED_KEY per extra index, short arrays ->
+    MISSING_KEY per missing index (both off by default)."""
+    if not isinstance(dtype, T.ArrayType):
+        nm = viol(NO_MATCH, where=where, expected="array",
+                  received=ta.js_typeof(dtype), value=stringify(c, dtype),
+                  type_index=idx)
+        return _const(F.array(nm), NO_MATCH, -1)
+
+    ed = dtype.elementType
+    m = len(alt.elems)
+
+    def elem_res(x: Column, i: Column) -> Column:
+        w = F.concat_ws(".", where, i.cast("string"))
+        if not opts.ignore_long_arrays:
+            uk = viol(UNEXPECTED_KEY, where=w)
+            long_struct = F.struct(
+                F.array(uk).alias("v"), F.lit(True).alias("p"),
+                F.lit(-1).cast("int").alias("h"),
+            )
+        # best element schema (schisma.mjs:203-207)
+        rs = [checked_value(s, x, ed, w, opts) for s in alt.elems]
+        if len(rs) == 1:
+            r = rs[0]
+            v_, code_, h_ = r.viols, r.code, r.h
+        else:
+            h_arr = F.array(*[r.h for r in rs])
+            b = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
+            v_ = F.element_at(F.array(*[r.viols for r in rs]), b)
+            code_ = F.element_at(F.array(*[r.code for r in rs]), b)
+            h_ = F.array_max(h_arr)
+        base = F.struct(
+            v_.alias("v"), is_problem(code_).alias("p"), h_.alias("h")
+        )
+        if not opts.ignore_long_arrays:
+            return F.when(i >= F.lit(m), long_struct).otherwise(base)
+        return base
+
+    elems = F.transform(c, elem_res)
+    all_viols = F.flatten(F.transform(elems, lambda e: e["v"]))
+    any_prob = F.exists(elems, lambda e: e["p"])
+    sum_h = F.aggregate(elems, F.lit(0).cast("int"),
+                        lambda a, e: a + e["h"])
+
+    n_short = F.lit(0)
+    short_viols = empty_varr()
+    if not opts.ignore_short_arrays:
+        missing = F.when(
+            F.size(c) < m,
+            F.transform(
+                F.sequence(F.size(c), F.lit(m - 1)),
+                lambda i: viol(MISSING_KEY,
+                               where=F.concat_ws(".", where, i.cast("string")),
+                               type_index=i),
+            ),
+        ).otherwise(empty_varr())
+        short_viols = missing
+        n_short = F.greatest(F.lit(0), F.lit(m) - F.size(c))
+        any_prob = any_prob | (F.size(c) < m)
+
+    viols = F.concat(all_viols, short_viols)
+    h = (sum_h - n_short + F.when(any_prob, F.lit(0)).otherwise(F.lit(2))).cast("int")
+    code = F.when(any_prob, F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH))
+    res = CheckRes(viols, code, h)
+    # null array value guarded by checked_value/parent
+    return res
+
+
+# ---------------------------------------------------------------------------
+# objects
+
+
+def _child_contrib(child: Node, cc: Column, cdt: T.DataType, w: Column,
+                   opts: Opts):
+    """One fixed key's contribution to an object result, with the relational
+    null-as-absent convention (SURVEY.md §2.A R9): NULL + required ->
+    MISSING_KEY; NULL + optional -> skipped; nodes that accept null get the
+    value semantics."""
+    if child.accepts_null():
+        r = check_node(child, cc, cdt, w, opts)
+        return r.viols, is_problem(r.code), r.h
+    base = check_node(child, cc, cdt, w, opts)
+    if child.required and not opts.ignore_required:
+        mk = F.array(viol(MISSING_KEY, where=w))
+        viols = F.when(cc.isNull(), mk).otherwise(base.viols)
+        prob = F.when(cc.isNull(), F.lit(True)).otherwise(is_problem(base.code))
+        h = F.when(cc.isNull(), F.lit(-1)).otherwise(base.h).cast("int")
+    else:
+        viols = F.when(cc.isNull(), empty_varr()).otherwise(base.viols)
+        prob = F.when(cc.isNull(), F.lit(False)).otherwise(is_problem(base.code))
+        h = F.when(cc.isNull(), F.lit(0)).otherwise(base.h).cast("int")
+    return viols, prob, h
+
+
+def _best_of_patterns(pattern_alts: list[list[Node]], v: Column,
+                      vdt: T.DataType, w: Column, opts: Opts):
+    """Best result for a key matched by >=1 regex patterns: each pattern's
+    alternatives reduce via the union heuristic; across patterns, non-problem
+    results are preferred then best-h first-wins (schisma.mjs:256-295)."""
+    per_pattern = []
+    for alts in pattern_alts:
+        rs = [checked_value(s, v, vdt, w, opts) for s in alts]
+        if len(rs) == 1:
+            per_pattern.append(rs[0])
+        else:
+            h_arr = F.array(*[r.h for r in rs])
+            b = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
+            per_pattern.append(
+                CheckRes(
+                    F.element_at(F.array(*[r.viols for r in rs]), b),
+                    F.element_at(F.array(*[r.code for r in rs]), b),
+                    F.array_max(h_arr),
+                )
+            )
+    if len(per_pattern) == 1:
+        r = per_pattern[0]
+        return r.viols, is_problem(r.code), r.h
+    # composite score: non-problems rank above all problems, then h
+    scores = F.array(
+        *[
+            (r.h + F.when(is_problem(r.code), F.lit(-100000)).otherwise(F.lit(0))).cast("int")
+            for r in per_pattern
+        ]
+    )
+    b = F.array_position(scores, F.array_max(scores)).cast("int")
+    viols = F.element_at(F.array(*[r.viols for r in per_pattern]), b)
+    code = F.element_at(F.array(*[r.code for r in per_pattern]), b)
+    return viols, is_problem(code), F.element_at(F.array(*[r.h for r in per_pattern]), b)
+
+
+def check_object_fields(alt: ObjectAlt, getter, present: list[str],
+                        where: Column, opts: Opts,
+                        exempt: set[str] = frozenset()) -> CheckRes:
+    """Shared object-shape check for the root DataFrame and struct columns:
+    ``getter(key) -> (Column, DataType)`` over the statically-known key set
+    ``present``. Regex keys resolve at COMPILE time here — the key set of a
+    DataFrame / StructType is static, so the reference's runtime regex loop
+    (schisma.mjs:256-295) folds into plan construction."""
+    contribs = []  # (viols, prob, h)
+    # fixed keys in schema
+    for k, child in alt.fields.items():
+        if k in present:
+            cc, cdt = getter(k)
+            w = F.concat_ws(".", where, F.lit(k))
+            contribs.append(_child_contrib(child, cc, cdt, w, opts))
+        else:
+            # column absent entirely from the data's schema
+            if child.required and not opts.ignore_required:
+                w = F.concat_ws(".", where, F.lit(k))
+                contribs.append(
+                    (F.array(viol(MISSING_KEY, where=w)), F.lit(True),
+                     F.lit(-1).cast("int"))
+                )
+    # keys present but not fixed: regex match (declaration order) else
+    # unexpected (schisma.mjs:256-305)
+    fixed = set(alt.fields)
+    for k in present:
+        if k in fixed or k in exempt:
+            continue
+        pats = [alts for (pat, alts) in alt.regex if re.search(pat, k)]
+        cc, cdt = getter(k)
+        w = F.concat_ws(".", where, F.lit(k))
+        if pats:
+            contribs.append(_best_of_patterns(pats, cc, cdt, w, opts))
+        elif not opts.ignore_unexpected:
+            uk = viol(UNEXPECTED_KEY, where=w, received=stringify(cc, cdt))
+            contribs.append((F.array(uk), F.lit(True), F.lit(-1).cast("int")))
+
+    if not contribs:
+        return _const(empty_varr(), EXACT_MATCH, 2)
+    viols = F.concat(*[v for v, _, _ in contribs]) if len(contribs) > 1 \
+        else contribs[0][0]
+    any_prob = contribs[0][1]
+    for _, p, _ in contribs[1:]:
+        any_prob = any_prob | p
+    sum_h = contribs[0][2]
+    for _, _, hh in contribs[1:]:
+        sum_h = sum_h + hh
+    code = F.when(any_prob, F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH))
+    h = (sum_h + F.when(any_prob, F.lit(0)).otherwise(F.lit(2))).cast("int")
+    return CheckRes(viols, code, h)
+
+
+def _check_object(alt: ObjectAlt, idx, c: Column, dtype: T.DataType,
+                  where: Column, opts: Opts) -> CheckRes:
+    """Object alternative against a struct or map column
+    (schisma.mjs:230-335)."""
+    if isinstance(dtype, T.StructType):
+        fields = {f.name: f.dataType for f in dtype.fields}
+
+        def getter(k):
+            return c.getField(k), fields[k]
+
+        res = check_object_fields(alt, getter, list(fields), where, opts)
+        # a null struct value = NO_MATCH 'object' vs 'null' (schisma.mjs:240-248)
+        nm = F.array(viol(NO_MATCH, where=where, expected="object",
+                          received="null", type_index=idx))
+        return CheckRes(
+            F.when(c.isNull(), nm).otherwise(res.viols),
+            F.when(c.isNull(), F.lit(NO_MATCH)).otherwise(res.code),
+            F.when(c.isNull(), F.lit(-1)).otherwise(res.h).cast("int"),
+        )
+    if isinstance(dtype, T.MapType):
+        return _check_map(alt, idx, c, dtype, where, opts)
+    nm = viol(NO_MATCH, where=where, expected="object",
+              received=ta.js_typeof(dtype), value=stringify(c, dtype),
+              type_index=idx)
+    return _const(F.array(nm), NO_MATCH, -1)
+
+
+def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
+               where: Column, opts: Opts) -> CheckRes:
+    """Object alternative over an open-keyed MapType column: the runtime
+    twin of the regex-key loop (schisma.mjs:256-295) using map higher-order
+    functions — fixed keys via element_at, per-entry regex dispatch via
+    transform over map_entries. Keys are dynamic per row here, so this is
+    the one place regex matching happens at run time (`rlike`)."""
+    vdt = dtype.valueType
+    contribs = []
+    for k, child in alt.fields.items():
+        cc = F.element_at(c, F.lit(k))
+        w = F.concat_ws(".", where, F.lit(k))
+        contribs.append(_child_contrib(child, cc, vdt, w, opts))
+
+    fixed_arr = F.array(*[F.lit(k) for k in alt.fields]) if alt.fields \
+        else F.array().cast("array<string>")
+
+    def entry_res(e: Column) -> Column:
+        k, v = e["key"], e["value"]
+        w = F.concat_ws(".", where, k)
+        branches = []
+        for pat, alts in alt.regex:
+            v_, p_, h_ = _best_of_patterns([alts], v, vdt, w, opts)
+            branches.append((k.rlike(pat), v_, p_, h_))
+        uk_v = F.array(viol(UNEXPECTED_KEY, where=w,
+                            received=stringify(v, vdt)))
+        if opts.ignore_unexpected:
+            expr = F.struct(empty_varr().alias("v"), F.lit(False).alias("p"),
+                            F.lit(0).cast("int").alias("h"))
+        else:
+            expr = F.struct(uk_v.alias("v"), F.lit(True).alias("p"),
+                            F.lit(-1).cast("int").alias("h"))
+        for cond, v_, p_, h_ in reversed(branches):
+            expr = F.when(cond, F.struct(v_.alias("v"), p_.alias("p"),
+                                         h_.cast("int").alias("h"))).otherwise(expr)
+        skip = F.struct(empty_varr().alias("v"), F.lit(False).alias("p"),
+                        F.lit(0).cast("int").alias("h"))
+        return F.when(F.array_contains(fixed_arr, k), skip).otherwise(expr)
+
+    entries = F.transform(F.map_entries(c), entry_res)
+    dyn_viols = F.flatten(F.transform(entries, lambda e: e["v"]))
+    dyn_prob = F.exists(entries, lambda e: e["p"])
+    dyn_h = F.aggregate(entries, F.lit(0).cast("int"), lambda a, e: a + e["h"])
+    contribs.append((dyn_viols, dyn_prob, dyn_h))
+
+    viols = F.concat(*[v for v, _, _ in contribs])
+    any_prob = contribs[0][1]
+    for _, p, _ in contribs[1:]:
+        any_prob = any_prob | p
+    sum_h = contribs[0][2]
+    for _, _, hh in contribs[1:]:
+        sum_h = sum_h + hh
+    code = F.when(any_prob, F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH))
+    h = (sum_h + F.when(any_prob, F.lit(0)).otherwise(F.lit(2))).cast("int")
+    nm = F.array(viol(NO_MATCH, where=where, expected="object",
+                      received="null", type_index=idx))
+    return CheckRes(
+        F.when(c.isNull(), nm).otherwise(viols),
+        F.when(c.isNull(), F.lit(NO_MATCH)).otherwise(code),
+        F.when(c.isNull(), F.lit(-1)).otherwise(h).cast("int"),
+    )

@@ -1,0 +1,154 @@
+"""validate(): one fused projection over the whole DataFrame.
+
+The analog of the reference's ``validate`` entry point
+(/root/reference/src/schisma.mjs:109-136), lifted from one-object-at-a-time
+recursion to a single distributed pass: every check for every column is
+compiled into ONE ``array<violation>`` Column (see
+:mod:`schisma_spark.compiler`), so Catalyst sees one projection it can fuse
+into whole-stage codegen, push filters under, and prune columns for. A
+stats/verdict aggregation is a second tiny plan over the same scan.
+
+Nothing here executes a job — :class:`ValidationResult` exposes lazy
+DataFrames (``violations``, ``row_verdicts``, ``verdicts(part_cols)``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schisma_spark.compiler import (
+    Opts,
+    check_object_fields,
+    empty_varr,
+    is_problem,
+    viol,
+)
+from schisma_spark.dsl import ObjectAlt, Schema
+from schisma_spark.result import VIOLATION_FIELDS
+
+PASS, FAIL = "pass", "fail"
+
+
+@dataclass
+class ValidationResult:
+    """Lazy handle over the two validation outputs (SURVEY.md §2.B E9/E10):
+    violation rows and per-partition verdicts."""
+
+    df: DataFrame
+    keys: list[str]
+    viols_col: Column
+    code_rows: list[Column] = field(default_factory=list)
+
+    @property
+    def annotated(self) -> DataFrame:
+        """Input rows + ``_viols`` array + ``_n_violations`` count."""
+        return self.df.withColumn("_viols", self.viols_col).withColumn(
+            "_n_violations", F.size("_viols")
+        )
+
+    @property
+    def violations(self) -> DataFrame:
+        """Flat violation rows: ``keys... code where expected received value
+        message type_index`` — the engine twin of the reference's flattened
+        error list (schisma.mjs:117-133)."""
+        ann = self.df.select(*self.keys, self.viols_col.alias("_viols"))
+        return ann.select(
+            *self.keys, F.explode("_viols").alias("_v")
+        ).select(*self.keys, *[F.col(f"_v.{f}").alias(f) for f in VIOLATION_FIELDS])
+
+    @property
+    def row_verdicts(self) -> DataFrame:
+        return self.df.select(
+            *self.keys,
+            F.size(self.viols_col).alias("n_violations"),
+        ).withColumn("ok", F.col("n_violations") == 0)
+
+    def verdicts(self, partition_cols: Sequence[str]) -> DataFrame:
+        """Per-partition pass/fail + metrics in one hash aggregate
+        (map-side partials come free from Catalyst)."""
+        n = F.size(self.viols_col)
+        return (
+            self.df.groupBy(*partition_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum(n), F.lit(0)).alias("n_violations"),
+                F.coalesce(F.sum((n > 0).cast("long")), F.lit(0)).alias("n_bad_rows"),
+            )
+            .withColumn(
+                "verdict",
+                F.when(F.col("n_violations") == 0, F.lit(PASS)).otherwise(F.lit(FAIL)),
+            )
+        )
+
+    def overall(self) -> DataFrame:
+        n = F.size(self.viols_col)
+        return (
+            self.df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum(n), F.lit(0)).alias("n_violations"),
+                F.coalesce(F.sum((n > 0).cast("long")), F.lit(0)).alias("n_bad_rows"),
+            )
+            .withColumn(
+                "verdict",
+                F.when(F.col("n_violations") == 0, F.lit(PASS)).otherwise(F.lit(FAIL)),
+            )
+        )
+
+
+def validate(
+    df: DataFrame,
+    sch: Schema,
+    keys: Sequence[str] | None = None,
+    ignore_unexpected: bool = False,
+    ignore_required: bool = False,
+    ignore_short_arrays: bool = True,
+    ignore_long_arrays: bool = True,
+    match_array: str = "any",
+    flatten_errors: bool = True,
+    filter_non_errors: bool = True,
+) -> ValidationResult:
+    """Validate every row of ``df`` against ``sch``.
+
+    Option surface mirrors the reference (schisma.mjs:110; README.md:243-250)
+    — ``match_array`` accepted-but-inert, as in the reference (SURVEY §2.A
+    R3). ``keys`` name identity columns carried onto violation rows; they are
+    exempt from the unexpected-key check when not in the schema.
+    """
+    opts = Opts(
+        ignore_unexpected=ignore_unexpected,
+        ignore_required=ignore_required,
+        ignore_short_arrays=ignore_short_arrays,
+        ignore_long_arrays=ignore_long_arrays,
+        match_array=match_array,
+        flatten_errors=flatten_errors,
+        filter_non_errors=filter_non_errors,
+    )
+    keys = list(keys or [])
+    alt = sch.root.alts[0]
+    if not isinstance(alt, ObjectAlt):
+        raise TypeError("root schema must be an object (dict literal)")
+
+    dtypes = dict(zip(df.schema.fieldNames(), [f.dataType for f in df.schema.fields]))
+
+    def getter(k):
+        return F.col(k), dtypes[k]
+
+    root_where = F.lit(None).cast("string")  # dot='' at root (schisma.mjs:109)
+    res = check_object_fields(
+        alt, getter, list(dtypes), root_where, opts, exempt=set(keys)
+    )
+    viols = res.viols
+    if not filter_non_errors:
+        # emit the per-row object result itself when it is not a problem
+        # (reference keeps non-error results when filterNonErrors=false,
+        # schisma.mjs:114-116)
+        ok_row = F.when(
+            ~is_problem(res.code),
+            F.array(viol(res.code, where=root_where)),
+        ).otherwise(empty_varr())
+        viols = F.concat(viols, ok_row)
+    return ValidationResult(df=df, keys=keys, viols_col=viols)
