@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship validation; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (engine checks +
+training-data ops); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible query. Column aliases match exactly between both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +11,505 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schisma_spark import Field, schema
+from schisma_spark.checks import (
+    column_stats,
+    duplicate_keys,
+    fixed_histogram,
+    fk_violations,
+    ks_from_histograms,
+    top_k_violations,
+)
+from schisma_spark.functions import (
+    brute_force_topk,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count_regex,
+    token_count_ws,
+    word_shingles,
+    jaccard,
+    minhash_signature,
+)
+from schisma_spark.functions.dedup import minhash_near_dups, simhash
+from schisma_spark.functions.similarity import lsh_ann_topk
+from schisma_spark.functions.text import (
+    EN_STOP_RE,
+    LANG_STOPWORDS,
+    PUNCT_RE,
+    TOKEN_RE,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# the lineitem rule set used by the flagship + verdict queries
+
+def _lineitem_schema():
+    return schema(
+        {
+            "l_quantity": Field(type=float, validate=lambda c: c <= 30),
+            "l_discount": Field(type=float, validate=lambda c: c <= 0.05),
+            "l_extendedprice": Field(type=float, validate=lambda c: c > 0),
+        }
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: schema-validate lineitem, per-returnflag verdicts."""
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    res = _lineitem_schema().validate(li, ignore_unexpected=True)
+    return res.verdicts(["l_returnflag"])
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+
+def q_stats_lineitem(spark, sf):
+    st = column_stats(
+        _t(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return st.select(
+        F.col("column").alias("col_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("min_value").cast("double").alias("min_v"),
+        F.col("max_value").cast("double").alias("max_v"),
+    )
+
+
+def q_verdicts_lineitem(spark, sf):
+    res = _lineitem_schema().validate(_t(spark, sf, "lineitem"),
+                                      ignore_unexpected=True)
+    v = res.verdicts(["l_returnflag"])
+    return v.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_bad_rows").cast("long").alias("n_bad_rows"),
+        "verdict",
+    )
+
+
+def q_violations_orders(spark, sf):
+    sch = schema(
+        {
+            "o_totalprice": Field(type=float, validate=lambda c: c <= 400000),
+            "o_orderstatus": Field(type=str, validate=lambda c: c.isin("O", "F")),
+        }
+    )
+    res = sch.validate(_t(spark, sf, "orders"), keys=["o_orderkey"],
+                       ignore_unexpected=True)
+    return res.violations.select(
+        "o_orderkey", "code", F.col("where").alias("loc"), "value"
+    )
+
+
+def q_dups_partkey(spark, sf):
+    d = duplicate_keys(_t(spark, sf, "lineitem"), ["l_partkey"], salt_buckets=32)
+    return d.select("l_partkey", F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_fk_orders_customer(spark, sf):
+    orders = _t(spark, sf, "orders")
+    dim = _t(spark, sf, "customer").where(F.col("c_acctbal") >= 0)
+    v = fk_violations(orders, dim, ["o_custkey"], ["c_custkey"],
+                      keys=["o_orderkey"], strategy="broadcast")
+    return v.select("o_orderkey", "code", F.col("where").alias("loc"),
+                    "received")
+
+
+def q_hist_quantity(spark, sf):
+    h = fixed_histogram(_t(spark, sf, "lineitem"), "l_quantity", 0.0, 50.0, 10)
+    return h.select(F.col("bin").cast("int").alias("bin"),
+                    F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_drift_ks_quantity(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cur = fixed_histogram(li.where(F.col("l_returnflag") == "A"),
+                          "l_quantity", 0.0, 50.0, 10)
+    base = fixed_histogram(li.where(F.col("l_returnflag") == "N"),
+                           "l_quantity", 0.0, 50.0, 10)
+    ks = ks_from_histograms(cur, base)
+    return ks.select(F.round("ks", 6).alias("ks"))
+
+
+def q_topk_violations(spark, sf):
+    v = q_violations_orders(spark, sf)
+    return top_k_violations(v, k=2, part_cols=["code", "loc"],
+                            order_by=["o_orderkey"])
+
+
+def q_conform_events(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit("bad"))
+        .otherwise(F.get_json_object("props", "$.k"))
+        .alias("props_k"),
+    )
+    sch = schema({"props_k": Field(type=float, default=-1.0)})
+    return sch.conform(ev, keys=["event_id"])
+
+
+def q_rollup_metrics(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("tok_ws"),
+        token_count_regex(F.col("text")).cast("long").alias("tok_re"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_dedup_prefix(spark, sf):
+    from schisma_spark.functions.dedup import exact_dup_groups
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 50).alias("prefix")
+    )
+    g = exact_dup_groups(d, "prefix", "doc_id")
+    return g.select("fp", F.col("n_dups").cast("long").alias("n_dups"),
+                    "min_id")
+
+
+def q_minhash_sigs(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 25 == 0)
+    sig = minhash_signature(word_shingles(F.col("text"), 3), n_hashes=8)
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", *[F.element_at(sig, i + 1).cast("string")
+                           for i in range(8)]).alias("sig"),
+    )
+
+
+def q_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
+    s = d.select("doc_id", "lang", word_shingles(F.col("text"), 3).alias("sh"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+                 F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+                 F.col("sh").alias("sh_b"))
+    pairs = a.join(b, (F.col("lang_a") == F.col("lang_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+    out = pairs.select("id_a", "id_b",
+                       jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac"))
+    return out.where(F.col("jac") > 0.01)
+
+
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 25 == 0)
+    return d.select("doc_id", simhash(F.col("text")).cast("long").alias("sim"))
+
+
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    out = brute_force_topk(emb, probes, "vec_id", "embedding", k=5, round_to=6)
+    return out.select("probe_id", "neighbor_id", "cos",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_lang_quality_agg(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("lang_guess"),
+                 quality_score(F.col("text")).alias("q"))
+        .groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("q").cast("double").alias("sum_quality"),
+        )
+    )
+
+
+# --- non-SQL-expressible (rows-only checks): scale-path variants -----------
+
+def q_lsh_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_ann_topk(emb, probes, "vec_id", "embedding", dim=64, k=5,
+                        n_tables=8, n_planes=3)
+
+
+def q_minhash_near_dups(spark, sf):
+    d = _t(spark, sf, "documents")
+    return minhash_near_dups(d, "text", "doc_id", threshold=0.2,
+                             n_hashes=16, bands=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "stats_lineitem": q_stats_lineitem,
+        "verdicts_lineitem": q_verdicts_lineitem,
+        "violations_orders": q_violations_orders,
+        "dups_partkey": q_dups_partkey,
+        "fk_orders_customer": q_fk_orders_customer,
+        "hist_quantity": q_hist_quantity,
+        "drift_ks_quantity": q_drift_ks_quantity,
+        "topk_violations": q_topk_violations,
+        "conform_events": q_conform_events,
+        "rollup_metrics": q_rollup_metrics,
+        "text_stats": q_text_stats,
+        "dedup_prefix": q_dedup_prefix,
+        "minhash_sigs": q_minhash_sigs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "lang_quality_agg": q_lang_quality_agg,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (exact ANSI twins; same aliases)
+
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len(w)-1, 1)), "
+    "i -> w[i]||' '||w[i+1]||' '||w[i+2]))"
+)
+_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+_H32 = "('0x'||substr(md5({x}),1,8))::int64"
+_FP = ("('0x'||substr(md5(regexp_replace(lower(trim({x})),'\\s+',' ','g'))"
+       ",1,15))::int64")
+
+
+def _lang_sql(col: str) -> str:
+    pats = list(LANG_STOPWORDS.items())
+    scores = [
+        f"len(regexp_extract_all(lower({col}), '{p}'))" for _, p in pats
+    ]
+    s_alias = [f"s{i}" for i in range(len(pats))]
+    mx = f"greatest({', '.join(s_alias)})"
+    case = " ".join(
+        f"WHEN {a} = _mx THEN '{k}'" for a, (k, _) in zip(s_alias, pats)
+    )
+    inner = "SELECT " + ", ".join(
+        f"{s} AS {a}" for s, a in zip(scores, s_alias)
+    )
+    return (
+        f"(SELECT CASE WHEN _mx <= 0 THEN 'und' {case} END FROM "
+        f"(SELECT {', '.join(s_alias)}, {mx} AS _mx FROM ({inner})))"
+    )
+
+
+def _quality_sql(col: str) -> str:
+    words = (f"(CASE WHEN trim({col})='' THEN 0 ELSE "
+             f"len(string_split_regex(trim({col}), '\\s+')) END)")
+    awl = f"(length(trim({col}))::double / greatest({words},1))"
+    punct = (f"(len(regexp_extract_all({col}, '{PUNCT_RE}'))::double"
+             f" / greatest(length({col}),1))")
+    stop = (f"(len(regexp_extract_all(lower({col}), '{EN_STOP_RE}'))::double"
+            f" / greatest({words},1))")
+    return (
+        f"((CASE WHEN {words} BETWEEN 10 AND 10000 THEN 0.25 ELSE 0 END)"
+        f" + (CASE WHEN {awl} BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END)"
+        f" + (CASE WHEN {punct} < 0.1 THEN 0.25 ELSE 0 END)"
+        f" + (CASE WHEN {stop} > 0.03 THEN 0.25 ELSE 0 END))::double"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    bin10 = ("least(greatest(floor((l_quantity - 0.0) / 50.0 * 10), 0), 9)"
+             "::int")
+    stats_one = (
+        "SELECT '{c}' AS col_name, count(*)::bigint AS n_rows, "
+        "sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::bigint AS n_null, "
+        "min({c})::double AS min_v, max({c})::double AS max_v FROM lineitem"
+    )
+    viol_orders = (
+        "SELECT o_orderkey, 'invalid' AS code, 'o_totalprice' AS loc, "
+        "o_totalprice::varchar AS value FROM orders "
+        "WHERE NOT (o_totalprice <= 400000) "
+        "UNION ALL SELECT o_orderkey, 'invalid', 'o_orderstatus', "
+        "o_orderstatus FROM orders WHERE NOT (o_orderstatus IN ('O','F'))"
+    )
+    minhash_core = f"""
+        WITH docs AS (
+          SELECT doc_id, {_SHINGLES3} AS sh
+          FROM (SELECT doc_id, {_WORDS} AS w FROM documents
+                WHERE doc_id % 25 = 0)
+        )
+        SELECT doc_id, {{sig}} AS sig FROM docs
     """
-    return {}
+    sig_parts = []
+    for j in range(8):
+        sig_parts.append(
+            "coalesce(list_min(list_transform(sh, s -> "
+            f"('0x'||substr(md5('{j}:'||s),1,8))::int64)), 4294967296)"
+            "::varchar"
+        )
+    sig_expr = " || ',' || ".join(sig_parts)
+
+    simhash_bits = []
+    for b in range(32):
+        simhash_bits.append(
+            "(CASE WHEN coalesce(list_sum(list_transform(w, t -> "
+            f"CASE WHEN (({_H32.format(x='t')}) >> {b}) & 1 = 1 "
+            "THEN 1 ELSE -1 END)), 0) > 0 "
+            f"THEN {2**b}::bigint ELSE 0::bigint END)"
+        )
+    simhash_expr = " + ".join(simhash_bits)
+
+    return {
+        "stats_lineitem": " UNION ALL ".join(
+            stats_one.format(c=c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        ),
+        "verdicts_lineitem": """
+            SELECT l_returnflag, count(*)::bigint AS n_rows,
+              (sum(CASE WHEN l_quantity IS NULL THEN 1
+                        WHEN l_quantity <= 30 THEN 0 ELSE 1 END)
+             + sum(CASE WHEN l_discount IS NULL THEN 1
+                        WHEN l_discount <= 0.05 THEN 0 ELSE 1 END)
+             + sum(CASE WHEN l_extendedprice IS NULL THEN 1
+                        WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+              )::bigint AS n_violations,
+              sum(CASE WHEN (CASE WHEN l_quantity IS NULL THEN 1
+                        WHEN l_quantity <= 30 THEN 0 ELSE 1 END
+                 + CASE WHEN l_discount IS NULL THEN 1
+                        WHEN l_discount <= 0.05 THEN 0 ELSE 1 END
+                 + CASE WHEN l_extendedprice IS NULL THEN 1
+                        WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) > 0
+                 THEN 1 ELSE 0 END)::bigint AS n_bad_rows,
+              CASE WHEN (sum(CASE WHEN l_quantity IS NULL THEN 1
+                        WHEN l_quantity <= 30 THEN 0 ELSE 1 END)
+                 + sum(CASE WHEN l_discount IS NULL THEN 1
+                        WHEN l_discount <= 0.05 THEN 0 ELSE 1 END)
+                 + sum(CASE WHEN l_extendedprice IS NULL THEN 1
+                        WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)) = 0
+                   THEN 'pass' ELSE 'fail' END AS verdict
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "violations_orders": viol_orders,
+        "dups_partkey": """
+            SELECT l_partkey, count(*)::bigint AS cnt FROM lineitem
+            GROUP BY l_partkey HAVING count(*) >= 2
+        """,
+        "fk_orders_customer": """
+            SELECT o_orderkey, 'no match' AS code, 'o_custkey' AS loc,
+                   o_custkey::varchar AS received
+            FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+        """,
+        "hist_quantity": f"""
+            SELECT {bin10} AS bin, count(*)::bigint AS cnt FROM lineitem
+            WHERE l_quantity IS NOT NULL GROUP BY 1
+        """,
+        "drift_ks_quantity": f"""
+            WITH a AS (SELECT {bin10} AS bin, count(*)::double AS ca
+                       FROM lineitem WHERE l_returnflag='A' GROUP BY 1),
+                 b AS (SELECT {bin10} AS bin, count(*)::double AS cb
+                       FROM lineitem WHERE l_returnflag='N' GROUP BY 1),
+                 j AS (SELECT coalesce(a.bin, b.bin) AS bin,
+                              coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                       FROM a FULL JOIN b ON a.bin = b.bin),
+                 c AS (SELECT bin,
+                              sum(ca) OVER (ORDER BY bin) /
+                                (sum(ca) OVER ()) AS cdfa,
+                              sum(cb) OVER (ORDER BY bin) /
+                                (sum(cb) OVER ()) AS cdfb FROM j)
+            SELECT round(max(abs(cdfa - cdfb)), 6)::double AS ks FROM c
+        """,
+        "topk_violations": f"""
+            SELECT * FROM ({viol_orders})
+            QUALIFY row_number() OVER
+              (PARTITION BY code, loc ORDER BY o_orderkey) <= 2
+        """,
+        "conform_events": """
+            SELECT event_id,
+              CASE WHEN x IS NULL THEN -1.0
+                   WHEN trim(x) = '' THEN 0.0
+                   ELSE coalesce(try_cast(x AS double), -1.0) END AS props_k
+            FROM (SELECT event_id,
+                    CASE WHEN event_id % 10 = 0 THEN 'bad'
+                         ELSE props->>'$.k' END AS x FROM events)
+        """,
+        "rollup_metrics": """
+            SELECT l_returnflag, l_linestatus, count(*)::bigint AS n_rows,
+                   sum(l_quantity)::double AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+              (CASE WHEN trim(text)='' THEN 0 ELSE
+                 len(string_split_regex(trim(text), '\\s+')) END)::bigint
+                 AS tok_ws,
+              len(regexp_extract_all(text, '{TOKEN_RE}'))::bigint AS tok_re,
+              {_quality_sql('text')} AS quality,
+              {_lang_sql('text')} AS lang_guess,
+              {_FP.format(x='text')} AS fp
+            FROM documents
+        """,
+        "dedup_prefix": f"""
+            SELECT {_FP.format(x='substr(text,1,50)')} AS fp,
+                   count(*)::bigint AS n_dups, min(doc_id) AS min_id
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "minhash_sigs": minhash_core.format(sig=sig_expr),
+        "jaccard_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, lang, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, lang, {_WORDS} AS w FROM documents
+                    WHERE doc_id % 10 = 0)
+            )
+            SELECT * FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                (CASE WHEN len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.sh, b.sh))::double /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 END) AS jac
+              FROM s a JOIN s b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+            ) WHERE jac > 0.01
+        """,
+        "simhash": f"""
+            SELECT doc_id, ({simhash_expr})::bigint AS sim
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents
+                  WHERE doc_id % 25 = 0)
+        """,
+        "ann_topk": """
+            SELECT * FROM (
+              SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+                round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                             n.embedding::DOUBLE[]), 6)
+                  AS cos,
+                row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                  round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                               n.embedding::DOUBLE[]), 6)
+                    DESC, n.vec_id) ::int AS rank
+              FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) p,
+                   embeddings n
+              WHERE p.vec_id != n.vec_id
+            ) WHERE rank <= 5
+        """,
+        "lang_quality_agg": f"""
+            SELECT {_lang_sql('text')} AS lang_guess,
+                   count(*)::bigint AS n_docs,
+                   sum({_quality_sql('text')})::double AS sum_quality
+            FROM documents GROUP BY 1
+        """,
+        # lsh_ann_topk / minhash_near_dups: approximate scale paths —
+        # intentionally no oracle (rows-only check)
+    }

@@ -1,0 +1,150 @@
+"""Headline benchmark (driver contract: prints ONE JSON line).
+
+Workload = the engine's north-star jobs (BASELINE.json:2,6):
+  - row-level schema validation + per-partition verdicts over a 2M-row
+    synthetic image+caption table (stats path: `bytes` never read)
+  - salted uniqueness on image_id, referential fmt check, drift KS
+  - Arrow-batched decode+PSNR on a 100k slice (payload path)
+  - schema validation over the driver's sf0.1 lineitem parquet
+  - text dedup / minhash / ANN suite over documents+embeddings
+
+Config: local[$SPARK_GRAFT_CPUS] over $SPARK_GRAFT_SF_DIR (default sf0.1).
+The 2M image table is generated once (deterministic, seed 42) and cached
+as parquet under .bench_cache/. Scaling evidence (local[8] vs local[32])
+lives in bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from schisma_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGE_ROWS", "2000000"))
+N_DECODE = int(os.environ.get("BENCH_DECODE_ROWS", "100000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+
+def ensure_images(spark, n: int) -> str:
+    path = os.path.join(CACHE, f"images_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from schisma_spark.image.fixtures import images_table
+
+        images_table(spark, n, seed=42, slices=CPUS * 4).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main():
+    spark = build_session(app="schisma-bench", master=f"local[{CPUS}]")
+    timings: dict[str, float] = {}
+    rates: dict[str, float] = {}
+
+    def timed(name, fn, rows=None):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if rows:
+            rates[name] = round(rows / dt, 1)
+        return out
+
+    img_path = ensure_images(spark, N_IMAGES)
+    imgs = spark.read.parquet(img_path)
+
+    from schisma_spark.image.fixtures import dim_fmt, images_schema_dsl
+    from schisma_spark.image.decode import decode_validate
+    from schisma_spark.checks import (
+        column_stats, duplicate_keys, fixed_histogram, fk_violations,
+        ks_from_histograms,
+    )
+
+    sch = images_schema_dsl()
+
+    timed(
+        "image_validate",
+        lambda: sch.validate(imgs, keys=["image_id", "part"])
+        .verdicts(["part"]).collect(),
+        rows=N_IMAGES,
+    )
+    timed(
+        "image_stats",
+        lambda: column_stats(
+            imgs, ["image_id", "w", "h", "fmt", "caption", "phash"]
+        ).collect(),
+        rows=N_IMAGES,
+    )
+    timed(
+        "image_uniqueness",
+        lambda: duplicate_keys(imgs, ["image_id"], salt_buckets=64)
+        .agg(F.count(F.lit(1)), F.max("cnt")).collect(),
+        rows=N_IMAGES,
+    )
+    timed(
+        "image_fk_fmt",
+        lambda: fk_violations(imgs, dim_fmt(spark), ["fmt"], ["fmt"],
+                              keys=["image_id"]).count(),
+        rows=N_IMAGES,
+    )
+    timed(
+        "image_drift_ks",
+        lambda: ks_from_histograms(
+            fixed_histogram(imgs.where(F.col("part") < 8), "w", 0, 64, 16),
+            fixed_histogram(imgs.where(F.col("part") >= 8), "w", 0, 64, 16),
+        ).collect(),
+        rows=N_IMAGES,
+    )
+    dec = imgs.limit(N_DECODE)
+    timed(
+        "image_decode_psnr",
+        lambda: decode_validate(dec)
+        .agg(F.sum(F.col("decode_ok").cast("long")),
+             F.sum(F.col("pixels_ok").cast("long"))).collect(),
+        rows=N_DECODE,
+    )
+
+    # driver testdata queries (sf0.1)
+    import __spark_entry__ as entry
+
+    li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    for name in (
+        "verdicts_lineitem", "stats_lineitem", "dups_partkey",
+        "hist_quantity", "drift_ks_quantity", "conform_events",
+        "text_stats", "minhash_near_dups", "ann_topk",
+    ):
+        fn = entry.queries()[name]
+        rows = li_rows if "lineitem" in name or name in (
+            "dups_partkey", "hist_quantity", "drift_ks_quantity") else None
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).collect(), rows=rows)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "throughput_rows_per_sec": rates,
+                "image_rows": N_IMAGES,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""Aggregate (table-level) checks — SURVEY.md §2.B.
+
+The reference is a per-value interpreter with no table semantics; these
+operators enter through BASELINE.json's north_rule: per-column stats,
+uniqueness with explicit skew salting, referential integrity via
+broadcast/shuffle joins, distribution drift via mergeable sketches, and
+bounded top-k violation sampling.
+"""
+
+from schisma_spark.checks.stats import column_stats
+from schisma_spark.checks.uniqueness import duplicate_keys, uniqueness_violations
+from schisma_spark.checks.referential import fk_violations
+from schisma_spark.checks.drift import fixed_histogram, ks_from_histograms, quantile_sketch
+from schisma_spark.checks.topk import top_k_violations
+
+__all__ = [
+    "column_stats",
+    "duplicate_keys",
+    "uniqueness_violations",
+    "fk_violations",
+    "fixed_histogram",
+    "ks_from_histograms",
+    "quantile_sketch",
+    "top_k_violations",
+]

@@ -1,0 +1,109 @@
+"""Distribution-drift checks (SURVEY.md §2.B E7).
+
+BASELINE.json:6: "distribution-drift via per-partition sketch histograms
+compared KS-style against a baseline". Two mergeable sketches, both
+built-in (no custom UDAF, so partial/final merge + spill are Catalyst's
+problem, not ours):
+
+- fixed-bin histograms: ``floor((x-lo)/(hi-lo)*nbins)`` bucketing + a hash
+  aggregate — exactly mergeable, and the same formula is expressible in
+  ANSI SQL for the DuckDB oracle
+- quantile sketches: ``approx_percentile`` (Greenwald-Khanna, mergeable)
+
+The KS statistic (sup |CDF_a - CDF_b|) is computed from binned counts —
+either driver-side from two small histogram results, or fully in Spark via
+a window CDF when comparing many groups at once.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_expr(col, lo: float, hi: float, nbins: int):
+    """Bin index in [0, nbins-1] (clamped); NULL for NULL input. Same
+    formula works in DuckDB: floor((x - lo) / (hi - lo) * nbins)."""
+    raw = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * F.lit(nbins))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+
+
+def fixed_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """``group..., bin, cnt`` — one hash aggregate, mergeable by addition."""
+    group_by = list(group_by or [])
+    binned = df.where(F.col(value_col).isNotNull()).select(
+        *group_by, bucket_expr(F.col(value_col), lo, hi, nbins).alias("bin")
+    )
+    return binned.groupBy(*group_by, "bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def quantile_sketch(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    accuracy: int = 10000,
+    group_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Mergeable quantile grid per column (approx_percentile)."""
+    group_by = list(group_by or [])
+    aggs = [
+        F.percentile_approx(c, list(probs), accuracy).alias(f"q_{c}") for c in cols
+    ]
+    return df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+
+
+def ks_from_histograms(
+    current: DataFrame,
+    baseline: DataFrame,
+    group_by: Sequence[str] | None = None,
+    bin_col: str = "bin",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """KS statistic per group from two binned histograms, computed in Spark
+    (window CDFs over the tiny histogram frames — no driver collect):
+    ``group..., ks``."""
+    group_by = list(group_by or [])
+    a = current.groupBy(*group_by, bin_col).agg(F.sum(cnt_col).alias("ca"))
+    b = baseline.groupBy(*group_by, bin_col).agg(F.sum(cnt_col).alias("cb"))
+    joined = a.join(b, on=group_by + [bin_col], how="full").fillna(
+        0, subset=["ca", "cb"]
+    )
+    w = (
+        Window.partitionBy(*group_by)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_by)
+    cdf = joined.select(
+        *group_by,
+        F.col(bin_col),
+        (F.sum("ca").over(w) / F.sum("ca").over(wt)).alias("cdf_a"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wt)).alias("cdf_b"),
+    )
+    grp = [F.col(g) for g in group_by]
+    out = cdf.groupBy(*grp).agg(
+        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("ks")
+    )
+    return out
+
+
+def drift_verdicts(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    threshold: float,
+    group_by: Sequence[str] | None = None,
+) -> DataFrame:
+    ks = ks_from_histograms(current_hist, baseline_hist, group_by)
+    return ks.withColumn(
+        "verdict",
+        F.when(F.col("ks") <= threshold, F.lit("pass")).otherwise(F.lit("fail")),
+    )

@@ -1,0 +1,76 @@
+"""Uniqueness with explicit skew salting (SURVEY.md §2.B E5).
+
+BASELINE.json:6 names "uniqueness via salted hash-aggregate on
+image_id/phash". A single ``groupBy(key).count()`` already gets map-side
+partial aggregation from Catalyst, but a pathologically hot key (one phash
+on ~1% of 10^12 rows) still funnels every partial for that key into one
+reducer. The explicit two-stage salt bounds the largest reduce-side group:
+
+  stage 1: groupBy(key, salt).count()   -- salt = spark_partition_id() % S,
+                                           so one hot key splits into <= S
+                                           groups, each fed locally
+  stage 2: groupBy(key).sum(count)      -- merges <= S tiny rows per key
+
+The re-merge is exact (counts are associative). SURVEY.md §7 hard-part (d).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schisma_spark.compiler import viol
+from schisma_spark.result import INVALID
+
+
+def duplicate_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    salt_buckets: int = 64,
+    min_count: int = 2,
+) -> DataFrame:
+    """Keys occurring >= ``min_count`` times: ``key..., cnt``. Rows with any
+    NULL key component are ignored (null = missing, handled by row checks)."""
+    key_cols = list(key_cols)
+    keyed = df.select(*key_cols).na.drop(subset=key_cols)
+    if salt_buckets and salt_buckets > 1:
+        stage1 = (
+            keyed.withColumn(
+                "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+            )
+            .groupBy(*key_cols, "_salt")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        counts = stage1.groupBy(*key_cols).agg(F.sum("_c").alias("cnt"))
+    else:
+        counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.where(F.col("cnt") >= min_count)
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    keys: Sequence[str] | None = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Schisma-shaped violation rows for duplicated keys: the offending rows
+    are recovered with a (broadcastable) semi-join of the duplicate key set
+    back onto the table."""
+    key_cols = list(key_cols)
+    dups = duplicate_keys(df, key_cols, salt_buckets=salt_buckets)
+    offending = df.join(F.broadcast(dups), on=key_cols, how="inner")
+    ident = list(keys or key_cols)
+    where = ".".join(key_cols)
+    return offending.select(
+        *ident,
+        viol(
+            INVALID,
+            where=F.lit(where),
+            expected="unique",
+            received=F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols]),
+            value=F.col("cnt").cast("string"),
+            message=F.lit(f"duplicate key on ({where})"),
+        ).alias("_v"),
+    ).select(*ident, "_v.*")

@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the part that matters at 10^12 docs):
+
+- exact dedup: one salted-friendly hash aggregate on a 60-bit fingerprint —
+  never shuffles document text, only (fingerprint, id) pairs
+- MinHash/LSH: signatures are computed in one projection (shingles ->
+  n portable min-hashes); candidate generation explodes only (band_idx,
+  band_hash, id) triples and self-joins on the band key, so the shuffle
+  carries O(n_docs * bands) small rows, not O(n_docs^2) pairs; exact
+  Jaccard runs only on candidates
+- SimHash: one projection -> 32-bit signature; near-dup candidates join on
+  byte-bands of the signature
+
+All hashing is the portable md5-prefix (functions/portable.py) so every
+stage has a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schisma_spark.functions.portable import bind, hash32
+from schisma_spark.functions.text import TOKEN_RE  # noqa: F401  (re-export)
+
+H32_SENTINEL = 4294967296  # 2^32: > any hash32 value (empty-shingle min)
+
+
+def norm_text(c: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def words(c: Column) -> Column:
+    t = F.trim(F.lower(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word k-grams ('a b c'). DuckDB twin:
+    list_distinct(list_transform(range(1, len(w)-k+2),
+                                 i -> w[i]||' '||w[i+1]||...)).
+    The word array is let-bound — a naive composition re-runs the split
+    for every element_at reference (k per shingle per row)."""
+
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+        return F.array_distinct(
+            F.when(n < k, F.array().cast("array<string>")).otherwise(sh)
+        )
+
+    return bind(words(c), body)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """n portable min-hashes: sig[j] = min over shingles of
+    hash32(j || ':' || shingle); empty shingle set -> 2^32 sentinel.
+    One projection, no shuffle. The shingle array is let-bound so it is
+    computed once per row, not once per hash function."""
+    return bind(
+        shingles,
+        lambda sh: F.array(
+            *[
+                F.coalesce(
+                    F.array_min(
+                        F.transform(
+                            sh,
+                            lambda s: hash32(F.concat(F.lit(f"{j}:"), s)),
+                        )
+                    ),
+                    F.lit(H32_SENTINEL),
+                )
+                for j in range(n_hashes)
+            ]
+        ),
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Band hashes: band b = hash32 of ','-joined sig[b*rows .. b*rows+rows-1].
+    array<long> of length ``bands``. ``sig`` is let-bound: computed once,
+    indexed bands*rows times."""
+    return bind(
+        sig,
+        lambda s: F.array(
+            *[
+                hash32(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(s, b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over distinct-element arrays (0.0 when both empty).
+    DuckDB: len(list_intersect(a,b)) / hand-built union size."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        (inter / union).cast("double")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint:
+    ``fp, n_dups, min_id`` for groups of size >= 2. Only (fp, id) shuffles."""
+    from schisma_spark.functions.text import fingerprint
+
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("_id")
+        )
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("_id").alias("min_id"))
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: ``id_a < id_b`` sharing >= 1 band.
+    Shuffle = O(docs * bands) band keys; the pair join happens per band
+    bucket (skew-prone hot buckets are AQE's job; a degenerate all-equal
+    bucket means the data IS one near-dup class)."""
+    rows = n_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), n_hashes)
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_a")
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_b")
+    )
+    return (
+        left.join(right, on=["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs with exact Jaccard verification on LSH
+    candidates only: ``id_a, id_b, jac``."""
+    cands = minhash_candidate_pairs(df, text_col, id_col, shingle_k, n_hashes, bands)
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    return (
+        cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac"))
+        .where(F.col("jac") >= threshold)
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over whitespace tokens: bit b is the sign of
+    sum over tokens of (+1 if bit b of hash32(token) else -1).
+    One projection; DuckDB twin uses the same bit arithmetic. The per-token
+    hash array is let-bound — computed once, not once per bit."""
+
+    def per_bits(hashes: Column) -> Column:
+        out = None
+        for b in range(bits):
+            s = F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            bc = F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+            out = bc if out is None else out + bc
+        return out
+
+    return bind(F.transform(words(c), lambda t: hash32(t)), per_bits)
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

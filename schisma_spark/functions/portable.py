@@ -1,0 +1,44 @@
+"""Portable deterministic hashing.
+
+Spark's ``xxhash64``/``hash`` have no DuckDB twins, so every hash that
+feeds an oracle-checked result uses an md5-hex-prefix construction that
+evaluates identically in Spark and ANSI-ish SQL:
+
+    Spark : conv(substring(md5(x), 1, 8), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(x), 1, 8))::int64
+
+(verified equal: 'hello world' -> 1589001147 on both). 15 hex chars = 60
+bits still fits a signed int64 on both sides. For purely internal hashing
+(salts, buckets) prefer ``F.xxhash64`` — cheaper, JVM-native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH32_MAX = 0xFFFFFFFF
+
+
+def hash32(c: Column) -> Column:
+    """32-bit portable hash (non-negative, fits int64 exactly)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def hash60(c: Column) -> Column:
+    """60-bit portable hash."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def bind(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per row
+    and pass it to ``body`` as a lambda variable.
+
+    Why: composing Column helpers inlines the argument expression at every
+    reference — ``simhash`` naively recomputes its per-token hash array 32
+    times (once per bit), turning O(tokens) into O(32*tokens) md5 calls,
+    and Catalyst's CollapseProject can undo a materializing select. A
+    higher-order-function lambda variable is evaluated once, giving real
+    let semantics inside a single expression tree.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)

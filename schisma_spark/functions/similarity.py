@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k of probe rows against the full
+  table — broadcast the (small) probe side so the big side never shuffles;
+  per-probe top-k via window rank. The correctness baseline.
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing — the scale path. Each
+  vector gets a ``n_planes``-bit signature from deterministic hash-derived
+  hyperplanes; probes only compare against their own bucket (plus
+  multi-probe neighbors), turning O(N*Q) into O(Q * bucket_size).
+
+Dot products are ``zip_with`` + ``aggregate`` in the JVM — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision.
+    DuckDB twin: list_cosine_similarity(a::double[], b::double[])."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for each probe row:
+    ``probe_id, neighbor_id, cos, rank``. Ties break on neighbor_id so the
+    result is fully deterministic (oracle-hashable)."""
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+        )
+    )
+    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    cos = cosine_sim(F.col("_pv"), F.col("_nv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
+        p.crossJoin(base)
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int,
+                         seed: str = "ann") -> Column:
+    """Deterministic random-hyperplane signature: plane p's i-th coefficient
+    is derived from hash32(f'{seed}:{p}:{i}') mapped to [-1, 1) — constant
+    folded by Catalyst, so per row this is just dim*n_planes multiply-adds.
+    The signature integer is the bucket key."""
+    bits = []
+    for pl in range(n_planes):
+        coefs = [
+            (F.conv(F.substring(F.md5(F.lit(f"{seed}:{pl}:{i}")), 1, 8), 16, 10)
+             .cast("long") % 2000 - 1000) / 1000.0
+            for i in range(dim)
+        ]
+        dot = None
+        for i, cf in enumerate(coefs):
+            term = F.element_at(vec, i + 1).cast("double") * cf
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot > 0, F.lit(2**pl).cast("long")).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L
+    independent tables of m planes each; a pair is a candidate when it
+    shares a bucket in ANY table (candidate prob = 1-(1-p^m)^L for
+    per-plane agreement p). Tune m up for high-similarity near-dup search
+    (small buckets), m down / L up for weak-neighbor recall.
+
+    Scale shape: the table side explodes to L rows per vector and joins on
+    (table_id, bucket) — shuffle O(N*L), never O(N^2); candidates are
+    deduped before scoring so each pair's cosine is computed once."""
+    sigs = F.array(
+        *[
+            hyperplane_signature(F.col(vec_col), dim, n_planes, seed=f"t{t}")
+            for t in range(n_tables)
+        ]
+    )
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(sigs).alias("table_id", "bucket"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.posexplode(sigs).alias("table_id", "bucket"),
+    )
+    cands = (
+        F.broadcast(p)
+        .join(base, on=["table_id", "bucket"])
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    pv = probes.select(F.col(id_col).alias("probe_id"),
+                       F.col(vec_col).alias("_pv"))
+    nv = df.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("_nv"))
+    cos = cosine_sim(F.col("_pv"), F.col("_nv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
+        cands.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .select("probe_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,119 @@
+"""Checkpoint manifest: per-partition lineage + metrics, resumable runs
+(SURVEY §2.B E12; BASELINE.json:14 "resumable from a checkpoint manifest
+carrying per-partition lineage and metrics").
+
+Layout: a directory of JSON-lines batch files, one per completed batch —
+the write is atomic at file granularity (tmp + rename), so a run killed
+mid-batch leaves no partial record and simply redoes that batch. Partition
+values are strings (stable across roundtrips).
+
+Resume = static partition pruning: the next run reads the manifest and
+filters done partitions OUT of the scan with ``~part.isin(done)``, which
+Catalyst pushes into the file source, so completed data is never re-read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Manifest:
+    path: str
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return [
+            os.path.join(self.path, f)
+            for f in sorted(os.listdir(self.path))
+            if f.endswith(".jsonl")
+        ]
+
+    def records(self) -> list[dict]:
+        out = []
+        for f in self._files():
+            with open(f) as fh:
+                for line in fh:
+                    if line.strip():
+                        out.append(json.loads(line))
+        return out
+
+    def done_partitions(self) -> set[str]:
+        return {r["partition"] for r in self.records() if r.get("status") == "done"}
+
+    def append(self, records: list[dict]) -> str:
+        """Atomic batch append (tmp file + rename)."""
+        os.makedirs(self.path, exist_ok=True)
+        name = f"batch-{time.strftime('%Y%m%dT%H%M%S')}-{uuid.uuid4().hex[:8]}.jsonl"
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        final = os.path.join(self.path, name)
+        with open(tmp, "w") as fh:
+            for r in records:
+                fh.write(json.dumps(r, sort_keys=True) + "\n")
+        os.replace(tmp, final)
+        return final
+
+    def metrics(self) -> dict:
+        recs = [r for r in self.records() if r.get("status") == "done"]
+        return {
+            "n_partitions": len({r["partition"] for r in recs}),
+            "n_rows": sum(r.get("n_rows", 0) for r in recs),
+            "n_violations": sum(r.get("n_violations", 0) for r in recs),
+            "n_bad_rows": sum(r.get("n_bad_rows", 0) for r in recs),
+        }
+
+
+def run_resumable(
+    df: DataFrame,
+    part_col: str,
+    validate_fn,
+    manifest: Manifest,
+    lineage: dict | None = None,
+    batch_partitions: int | None = None,
+) -> list[dict]:
+    """Run ``validate_fn(sub_df) -> verdicts DataFrame`` (must output
+    ``part_col, n_rows, n_violations, n_bad_rows, verdict``) over only the
+    partitions the manifest has not yet marked done; append one manifest
+    record per finished partition. Returns the records written this run.
+
+    ``batch_partitions`` limits how many partitions this invocation
+    processes (used by the kill/resume test to simulate interruption)."""
+    done = manifest.done_partitions()
+    part_values = [
+        str(r[0])
+        for r in df.select(part_col).distinct().collect()
+        if str(r[0]) not in done
+    ]
+    part_values.sort()
+    if batch_partitions is not None:
+        part_values = part_values[:batch_partitions]
+    if not part_values:
+        return []
+    # one job for the whole remaining batch; pruning pushed to the scan
+    sub = df.where(F.col(part_col).cast("string").isin(part_values))
+    verd = validate_fn(sub).collect()
+    now = time.time()
+    recs = []
+    for r in verd:
+        recs.append(
+            {
+                "partition": str(r[part_col]),
+                "status": "done",
+                "n_rows": r["n_rows"],
+                "n_violations": r["n_violations"],
+                "n_bad_rows": r["n_bad_rows"],
+                "verdict": r["verdict"],
+                "finished_at": now,
+                "lineage": lineage or {},
+            }
+        )
+    manifest.append(recs)
+    return recs

@@ -1,0 +1,98 @@
+"""ValidationRun: the full engine pipeline over an image+caption table.
+
+Job layout (SURVEY §3.2 — at most 3 jobs per run batch):
+
+  (a) row-level pass: fused schema checks (+ optional Arrow decode checks)
+      -> violations sink
+  (b) per-partition verdict aggregate -> verdicts sink + manifest append
+  (c) aggregate checks: salted uniqueness, referential anti-joins, drift
+      histograms vs baseline (small outputs)
+
+The stats-only path never references ``bytes`` — column pruning keeps the
+payload unread (verified via .explain in tests; SURVEY §7 hard-part (e)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schisma_spark.checks import fk_violations, uniqueness_violations
+from schisma_spark.dsl import Schema
+from schisma_spark.manifest import Manifest, run_resumable
+from schisma_spark.validate import validate
+
+
+@dataclass
+class RunConfig:
+    part_col: str = "part"
+    keys: tuple[str, ...] = ("image_id",)
+    unique_on: tuple[tuple[str, ...], ...] = (("image_id",), ("phash",))
+    decode: bool = False         # run the Arrow decode/PSNR pass
+    sample_k: int | None = None  # cap violations per (partition, code)
+
+
+@dataclass
+class RunResult:
+    violations: DataFrame
+    verdicts: DataFrame
+    manifest_records: list[dict] = field(default_factory=list)
+
+
+class ValidationRun:
+    def __init__(self, sch: Schema, config: RunConfig | None = None):
+        self.schema = sch
+        self.config = config or RunConfig()
+
+    def row_pass(self, df: DataFrame) -> "ValidationRunPlan":
+        cfg = self.config
+        res = validate(
+            df, self.schema, keys=[*cfg.keys, cfg.part_col],
+            ignore_unexpected=True,
+        )
+        return res
+
+    def violations(self, df: DataFrame, dims: dict | None = None) -> DataFrame:
+        """Union of row-level + aggregate violation rows (E10)."""
+        cfg = self.config
+        res = self.row_pass(df)
+        out = res.violations
+        ident = [*cfg.keys, cfg.part_col]
+        for key_cols in cfg.unique_on:
+            u = uniqueness_violations(df, list(key_cols), keys=ident)
+            out = out.unionByName(u, allowMissingColumns=True)
+        for fk_cols, (dim_df, pk_cols) in (dims or {}).items():
+            f = fk_violations(df, dim_df, list(fk_cols), list(pk_cols),
+                              keys=ident)
+            out = out.unionByName(f, allowMissingColumns=True)
+        if cfg.sample_k:
+            from schisma_spark.checks import top_k_violations
+
+            out = top_k_violations(
+                out, cfg.sample_k, part_cols=[cfg.part_col, "code"],
+                order_by=[cfg.keys[0]],
+            )
+        return out
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        return self.row_pass(df).verdicts([self.config.part_col])
+
+    def run_resumable(self, df: DataFrame, manifest_path: str,
+                      lineage: dict | None = None,
+                      batch_partitions: int | None = None) -> RunResult:
+        m = Manifest(manifest_path)
+        recs = run_resumable(
+            df,
+            self.config.part_col,
+            lambda sub: self.verdicts(sub),
+            m,
+            lineage=lineage,
+            batch_partitions=batch_partitions,
+        )
+        return RunResult(
+            violations=self.violations(df),
+            verdicts=self.verdicts(df),
+            manifest_records=recs,
+        )

@@ -1,0 +1,166 @@
+"""Text / dedup / similarity function tests over documents+embeddings."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from schisma_spark.functions import (
+    brute_force_topk,
+    exact_dup_groups,
+    jaccard,
+    lang_id,
+    minhash_signature,
+    quality_score,
+    token_count_regex,
+    token_count_ws,
+    word_shingles,
+)
+from schisma_spark.functions.dedup import (
+    hamming32,
+    minhash_near_dups,
+    simhash,
+)
+from schisma_spark.functions.similarity import cosine_sim, lsh_ann_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [Row(t="hello world foo"), Row(t="  "), Row(t="a1b, c!")]
+    )
+    got = df.select(
+        token_count_ws(F.col("t")).alias("ws"),
+        token_count_regex(F.col("t")).alias("re"),
+    ).collect()
+    assert [r["ws"] for r in got] == [3, 0, 2]
+    # 'a1b, c!' -> a,1,b,',',c,'!' = 6
+    assert got[2]["re"] == 6
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog that it is"),
+            Row(t="der hund ist nicht mit der katze"),
+            Row(t="le chat et les chiens dans une maison"),
+            Row(t="xyz qqq zzz"),
+        ]
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("t"))).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_range(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qs = docs.select(quality_score(F.col("text")).alias("q"))
+    mn, mx = qs.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([Row(a="a b c d", b="a b c e")])
+    out = df.select(
+        jaccard(
+            word_shingles(F.col("a"), 3), word_shingles(F.col("b"), 3)
+        ).alias("j")
+    ).collect()[0]
+    # shingles a: {a b c, b c d}; b: {a b c, b c e}; jac = 1/3
+    assert out["j"] == pytest.approx(1 / 3)
+
+
+def test_minhash_similar_docs_share_hashes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="the quick brown fox jumps over the lazy dog today"),
+            Row(id=2, t="the quick brown fox jumps over the lazy dog tonight"),
+            Row(id=3, t="completely different words appear in this one text"),
+        ]
+    )
+    sig = minhash_signature(word_shingles(F.col("t"), 3), 16)
+    rows = {r["id"]: r["s"] for r in df.select("id", sig.alias("s")).collect()}
+    agree_12 = sum(a == b for a, b in zip(rows[1], rows[2]))
+    agree_13 = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert agree_12 > agree_13
+    assert agree_12 >= 8  # ~ jaccard (7/11) * 16
+
+
+def test_minhash_near_dups_finds_planted(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    planted = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    df = docs.unionAll(planted)
+    pairs = minhash_near_dups(df, "text", "doc_id", threshold=0.9)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 100000) for r in docs.limit(5).collect()}
+    assert expected <= found
+
+
+def test_exact_dup_groups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.unionAll(docs.limit(3).withColumn("doc_id", F.col("doc_id") + 7777))
+    g = exact_dup_groups(df, "text", "doc_id")
+    assert g.count() == 3
+    assert g.agg(F.min("min_id")).collect()[0][0] == 0
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="the quick brown fox jumps over the lazy dog"),
+            Row(id=2, t="the quick brown fox jumps over the lazy cat"),
+            Row(id=3, t="unrelated totally separate vocabulary entirely here"),
+        ]
+    )
+    sims = {r["id"]: r["s"] for r in df.select("id", simhash(F.col("t")).alias("s")).collect()}
+    d12 = bin(sims[1] ^ sims[2]).count("1")
+    d13 = bin(sims[1] ^ sims[3]).count("1")
+    assert d12 < d13
+    got = (
+        df.select(simhash(F.col("t")).alias("s"))
+        .crossJoin(df.select(simhash(F.col("t")).alias("s2")))
+        .select(hamming32(F.col("s"), F.col("s2")).alias("d"))
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert got == max(
+        bin(a ^ b).count("1") for a in sims.values() for b in sims.values()
+    )
+
+
+def test_cosine_and_bruteforce_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # cosine of a vector with itself is 1
+    self_cos = emb.limit(3).select(
+        cosine_sim(F.col("embedding"), F.col("embedding")).alias("c")
+    ).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-9 for r in self_cos)
+
+    probes = emb.where(F.col("vec_id") < 2)
+    out = brute_force_topk(emb, probes, "vec_id", "embedding", k=3)
+    rows = out.collect()
+    assert len(rows) == 6
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r["probe_id"], []).append((r["rank"], r["cos"]))
+    for ranks in per_probe.values():
+        ranks.sort()
+        cs = [c for _, c in ranks]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, probes, "vec_id", "embedding", k=5)
+    approx = lsh_ann_topk(emb, probes, "vec_id", "embedding", dim=64, k=5,
+                          n_tables=8, n_planes=2)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # these synthetic vectors are weakly correlated (top cos ~0.35), so a
+    # wide-table config is needed for recall; still approximate
+    assert recall > 0.5
