@@ -62,15 +62,17 @@ def phash_for(image_id: str) -> int:
     return int.from_bytes(d[:8], "little", signed=True)
 
 
-def clean_row(i: int, seed: int = 42) -> dict:
+def clean_row(i: int, seed: int = 42, with_bytes: bool = True) -> dict:
     image_id = f"img-{i:012d}"
     w = SIZES[_h(i, "w", seed) % len(SIZES)]
     h = SIZES[_h(i, "h", seed) % len(SIZES)]
     fmt = FMTS[_h(i, "fmt", seed) % len(FMTS)]
-    px = gen_pixels(image_id, w, h)
+    data = None
+    if with_bytes:
+        data = encode_image(gen_pixels(image_id, w, h), fmt)
     return {
         "image_id": image_id,
-        "bytes": encode_image(px, fmt),
+        "bytes": data,
         "w": w,
         "h": h,
         "fmt": fmt,
@@ -80,11 +82,11 @@ def clean_row(i: int, seed: int = 42) -> dict:
     }
 
 
-def violated_row(i: int, seed: int = 42) -> dict:
+def violated_row(i: int, seed: int = 42, with_bytes: bool = True) -> dict:
     """FIXTURES.md A1 planting, all rates keyed off a stable hash of i.
     Partition 3 stays fully clean (per-partition PASS case); partition 7 is
     violation-dense (FAIL case)."""
-    r = clean_row(i, seed)
+    r = clean_row(i, seed, with_bytes)
     part = r["part"]
     if part == 3:
         return r
@@ -99,11 +101,13 @@ def violated_row(i: int, seed: int = 42) -> dict:
     elif u < lim(300):
         r["phash"] = phash_for("img-%012d" % 1)    # phash collision (cold)
     elif u < lim(400):
-        r["bytes"] = r["bytes"][: max(4, len(r["bytes"]) // 3)]  # truncated
+        if r["bytes"] is not None:
+            r["bytes"] = r["bytes"][: max(4, len(r["bytes"]) // 3)]  # truncated
     elif u < lim(500):
         # valid container, wrong pixels (PSNR < 40 vs reference)
-        px = gen_pixels(r["image_id"] + ":corrupt", r["w"], r["h"])
-        r["bytes"] = encode_image(px, r["fmt"])
+        if r["bytes"] is not None:
+            px = gen_pixels(r["image_id"] + ":corrupt", r["w"], r["h"])
+            r["bytes"] = encode_image(px, r["fmt"])
     elif u < lim(600):
         r["w"] = -r["w"]                           # range violation
     elif u < lim(700):
@@ -122,20 +126,21 @@ def violated_row(i: int, seed: int = 42) -> dict:
     return r
 
 
-def _gen_mapper(clean: bool, seed: int):
+def _gen_mapper(clean: bool, seed: int, with_bytes: bool):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         make = clean_row if clean else violated_row
         for b in batches:
-            rows = [make(int(i), seed) for i in b["id"]]
+            rows = [make(int(i), seed, with_bytes) for i in b["id"]]
             yield pd.DataFrame(rows)
 
     return fn
 
 
 def images_table(spark: SparkSession, n: int, clean: bool = False,
-                 seed: int = 42, slices: int | None = None) -> DataFrame:
+                 seed: int = 42, slices: int | None = None,
+                 with_bytes: bool = True) -> DataFrame:
     base = spark.range(0, n, numPartitions=slices or spark.sparkContext.defaultParallelism)
-    return base.mapInPandas(_gen_mapper(clean, seed), IMAGES_SCHEMA)
+    return base.mapInPandas(_gen_mapper(clean, seed, with_bytes), IMAGES_SCHEMA)
 
 
 def images_ref(spark: SparkSession, n: int, seed: int = 42,
@@ -152,13 +157,16 @@ def dim_fmt(spark: SparkSession) -> DataFrame:
 
 
 def images_schema_dsl():
-    """The engine schema for the images table (row-level checks)."""
+    """The engine schema for the images table's STATS path (row-level
+    checks). ``bytes`` is deliberately absent: even a null-check Column on
+    it would force the scan to read the payload, defeating column pruning
+    (SURVEY §7 hard-part (e)); payload integrity belongs to the decode pass
+    (image/decode.py). Validate with ignore_unexpected=True."""
     from schisma_spark import Field, schema
 
     return schema(
         {
             "image_id": Field(type=str, validate=lambda c: c.rlike("^img-")),
-            "bytes": bytes,
             "w": Field(type=int, validate=lambda c: (c > 0) & (c <= 4096)),
             "h": Field(type=int, validate=lambda c: (c > 0) & (c <= 4096)),
             "fmt": Field(type=str, validate=lambda c: c.isin(*FMTS)),

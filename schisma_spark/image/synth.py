@@ -24,14 +24,22 @@ import numpy as np
 FORMATS = ("raw", "bmp", "png")
 
 
-def _seed(image_id: str) -> int:
-    return int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "little")
+# Module-level generator whose 128-bit state is re-seeded per image from
+# md5(image_id) — constructing a fresh PCG64/SeedSequence per call costs
+# ~60us, direct state injection ~17us. Single-threaded per Spark python
+# worker process, so the shared object is safe there.
+_BG = np.random.PCG64()
+_GEN = np.random.Generator(_BG)
+_PCG_INC = 0x5851F42D4C957F2D
 
 
 def gen_pixels(image_id: str, w: int, h: int) -> np.ndarray:
-    """(h, w, 3) uint8, deterministic per (image_id, w, h)."""
-    rng = np.random.Generator(np.random.PCG64(_seed(image_id)))
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    """(h, w, 3) uint8, a pure function of (image_id, w, h)."""
+    d = hashlib.md5(image_id.encode()).digest()
+    st = _BG.state
+    st["state"] = {"state": int.from_bytes(d, "little"), "inc": _PCG_INC}
+    _BG.state = st
+    return _GEN.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
 # -- encoders ---------------------------------------------------------------
@@ -120,6 +128,11 @@ def _decode_png(data: bytes) -> np.ndarray:
     stride = w * 3 + 1
     if len(scan) != stride * h:
         raise ValueError("bad PNG payload size")
+    flat = np.frombuffer(scan, np.uint8)
+    # fast path: all rows filter 0 (what our encoder emits) -> one reshape,
+    # no per-row Python loop
+    if not flat[::stride].any():
+        return flat.reshape(h, stride)[:, 1:].reshape(h, w, 3).copy()
     out = np.empty((h, w, 3), dtype=np.uint8)
     prev = np.zeros(w * 3, dtype=np.uint8)
     for y in range(h):
@@ -173,7 +186,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    d = a.astype(np.int16) - b.astype(np.int16)  # int math: no f64 temps
+    mse = float(np.mean(np.square(d, dtype=np.int32)))
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))

@@ -1,0 +1,111 @@
+"""Structured Streaming surface (SURVEY §2.B E17).
+
+The batch engine is the deliverable; streaming is the same fused check
+projection applied per micro-batch:
+
+- ``validate_stream``: ``readStream -> foreachBatch(run checks)`` — each
+  batch appends violations to a sink and verdict records to the same
+  atomic manifest the batch path uses, so batch and streaming runs share
+  one resume/bookkeeping story
+- ``windowed_drift_stream``: watermarked tumbling-window histograms for
+  drift-over-time on an event-time column — late rows beyond the watermark
+  are dropped by Spark's state store, which is the correct semantics for a
+  monitoring sketch
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from schisma_spark.dsl import Schema
+from schisma_spark.manifest import Manifest
+from schisma_spark.validate import validate
+
+
+def validate_stream(
+    spark: SparkSession,
+    input_path: str,
+    sch: Schema,
+    spark_schema: T.StructType,
+    manifest_path: str,
+    checkpoint_path: str,
+    part_col: str = "part",
+    keys: tuple[str, ...] = (),
+    violations_path: str | None = None,
+    available_now: bool = True,
+    extra_process: Callable[[DataFrame, int], None] | None = None,
+):
+    """Continuously validate files arriving under ``input_path``.
+    ``available_now=True`` drains what exists and stops (test/backfill
+    mode); False runs until ``query.stop()``."""
+    stream = spark.readStream.schema(spark_schema).parquet(input_path)
+    manifest = Manifest(manifest_path)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        res = validate(batch_df, sch, keys=[*keys, part_col],
+                       ignore_unexpected=True)
+        if violations_path:
+            res.violations.write.mode("append").parquet(violations_path)
+        verd = res.verdicts([part_col]).collect()
+        now = time.time()
+        manifest.append(
+            [
+                {
+                    "partition": f"batch-{batch_id}/part-{r[part_col]}",
+                    "status": "done",
+                    "n_rows": r["n_rows"],
+                    "n_violations": r["n_violations"],
+                    "n_bad_rows": r["n_bad_rows"],
+                    "verdict": r["verdict"],
+                    "finished_at": now,
+                    "lineage": {"batch_id": batch_id, "input": input_path},
+                }
+                for r in verd
+            ]
+        )
+        if extra_process is not None:
+            extra_process(batch_df, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_drift_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window fixed-bin histogram — the streaming twin
+    of checks.drift.fixed_histogram; mergeable downstream by addition."""
+    from schisma_spark.checks.drift import bucket_expr
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            bucket_expr(F.col(value_col), lo, hi, nbins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "bin",
+            "cnt",
+        )
+    )

@@ -98,7 +98,8 @@ def test_fmt_referential(spark):
 
 def test_images_row_schema_validate(spark):
     imgs = images_table(spark, 1000, seed=42)
-    res = images_schema_dsl().validate(imgs, keys=["image_id", "part"])
+    res = images_schema_dsl().validate(imgs, keys=["image_id", "part"],
+                                       ignore_unexpected=True)
     verd = {r["part"]: r["verdict"] for r in res.verdicts(["part"]).collect()}
     assert verd[3] == "pass"   # clean partition
     assert verd[7] == "fail"   # violation-dense partition
