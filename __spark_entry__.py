@@ -229,6 +229,35 @@ def q_ann_topk(spark, sf):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_validate_json_events(spark, sf):
+    """Runtime JSON validation (json_validate.py): per-row key sets with
+    planted type/missing/unexpected violations over events.props."""
+    from schisma_spark.json_validate import validate_json
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit('{"k": "bad"}'))
+        .when(F.col("event_id") % 11 == 0, F.lit("{}"))
+        .when(F.col("event_id") % 13 == 0, F.lit('{"k": 1, "zz": 2}'))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    sch = schema({"k": float})
+    res = validate_json(ev, "payload", sch, keys=["event_id"])
+    return res.violations.select("event_id", "code",
+                                 F.col("where").alias("loc"))
+
+
+def q_quantiles_quantity(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(p, 1), 6).alias("p25"),
+        F.round(F.element_at(p, 2), 6).alias("p50"),
+        F.round(F.element_at(p, 3), 6).alias("p75"),
+    )
+
+
 def q_lang_quality_agg(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -276,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "lang_quality_agg": q_lang_quality_agg,
+        "validate_json_events": q_validate_json_events,
+        "quantiles_quantity": q_quantiles_quantity,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_near_dups": q_minhash_near_dups,
     }
@@ -509,6 +540,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_docs,
                    sum({_quality_sql('text')})::double AS sum_quality
             FROM documents GROUP BY 1
+        """,
+        "validate_json_events": """
+            WITH ev AS (
+              SELECT event_id,
+                CASE WHEN event_id % 7 = 0 THEN '{"k": "bad"}'
+                     WHEN event_id % 11 = 0 THEN '{}'
+                     WHEN event_id % 13 = 0 THEN '{"k": 1, "zz": 2}'
+                     ELSE props END AS p
+              FROM events)
+            SELECT event_id, 'no match' AS code, 'k' AS loc FROM ev
+              WHERE p->>'$.k' IS NOT NULL
+                AND try_cast(p->>'$.k' AS double) IS NULL
+            UNION ALL
+            SELECT event_id, 'missing key', 'k' FROM ev
+              WHERE p->>'$.k' IS NULL
+            UNION ALL
+            SELECT event_id, 'unexpected key', k FROM (
+              SELECT event_id, unnest(json_keys(p)) AS k FROM ev) t
+              WHERE k != 'k'
+        """,
+        "quantiles_quantity": """
+            SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+              round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+              round(quantile_cont(l_quantity, 0.75), 6) AS p75
+            FROM lineitem GROUP BY l_returnflag
         """,
         # lsh_ann_topk / minhash_near_dups: approximate scale paths —
         # intentionally no oracle (rows-only check)

@@ -9,8 +9,34 @@ fat binary rows (SURVEY §4.3.5), and shuffle partitions scaled to cores.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the schisma_spark package for --py-files shipping (the
+    north-rule deployment mode). Cached per process; lets executor Python
+    workers import the package regardless of driver cwd."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "schisma_spark_pyfiles.zip")
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "schisma_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        z.write(full, rel)
+        os.replace(tmp, out)
+    return out
 
 
 def build_session(
@@ -40,6 +66,7 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.submit.pyFiles", package_zip())
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
