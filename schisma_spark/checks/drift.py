@@ -96,6 +96,47 @@ def ks_from_histograms(
     return out
 
 
+def grouped_histogram_pandas(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_by: Sequence[str],
+) -> DataFrame:
+    """applyInPandas twin of fixed_histogram (SURVEY §2.B E18 grouped-map
+    surface): per-group numpy histograms. Use when the binning logic
+    outgrows Column expressions (log bins, custom edges); for plain fixed
+    bins prefer fixed_histogram (JVM-side). Partial aggregation happens in
+    pandas per group-partition; output rows are (group..., bin, cnt)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    group_by = list(group_by)
+    gfields = [df.schema[g] for g in group_by]
+    out_schema = T.StructType(
+        gfields
+        + [T.StructField("bin", T.IntegerType()),
+           T.StructField("cnt", T.LongType())]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].dropna().to_numpy(dtype="float64")
+        idx = np.floor((vals - lo) / (hi - lo) * nbins)
+        idx = np.clip(idx, 0, nbins - 1).astype("int64")
+        bins, cnts = np.unique(idx, return_counts=True)
+        out = pd.DataFrame({"bin": bins.astype("int32"),
+                            "cnt": cnts.astype("int64")})
+        for g in group_by:
+            out.insert(0, g, pdf[g].iloc[0])
+        return out
+
+    return df.select(*group_by, value_col).groupBy(*group_by).applyInPandas(
+        fn, out_schema
+    )
+
+
 def drift_verdicts(
     current_hist: DataFrame,
     baseline_hist: DataFrame,

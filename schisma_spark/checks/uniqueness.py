@@ -1,17 +1,21 @@
 """Uniqueness with explicit skew salting (SURVEY.md §2.B E5).
 
 BASELINE.json:6 names "uniqueness via salted hash-aggregate on
-image_id/phash". A single ``groupBy(key).count()`` already gets map-side
-partial aggregation from Catalyst, but a pathologically hot key (one phash
-on ~1% of 10^12 rows) still funnels every partial for that key into one
-reducer. The explicit two-stage salt bounds the largest reduce-side group:
+image_id/phash". Two exact strategies, both provided:
 
-  stage 1: groupBy(key, salt).count()   -- salt = spark_partition_id() % S,
-                                           so one hot key splits into <= S
-                                           groups, each fed locally
-  stage 2: groupBy(key).sum(count)      -- merges <= S tiny rows per key
+  salted (two-stage):
+    stage 1: groupBy(key, salt).count()  -- salt = spark_partition_id() % S
+    stage 2: groupBy(key).sum(count)     -- merges <= S tiny rows per key
+  plain: groupBy(key).count()
 
-The re-merge is exact (counts are associative). SURVEY.md §7 hard-part (d).
+When does salting pay? For COUNT, Catalyst's map-side partial aggregation
+already bounds a hot key's reducer load to one partial row per map task —
+measured on 40M rows with a 1%-hot key, plain wins (7.5 s vs 13.2 s at
+local[32]; the salt's extra full-width shuffle costs more than it saves).
+Salting is the right tool when per-key aggregation STATE is large
+(collect_set/approx sketches) or map tasks vastly outnumber reducers, so
+``salt_buckets`` stays an explicit knob: the hot-key splitting mechanism is
+exact either way (counts are associative — SURVEY.md §7 hard-part (d)).
 """
 
 from __future__ import annotations
@@ -34,7 +38,10 @@ def duplicate_keys(
     """Keys occurring >= ``min_count`` times: ``key..., cnt``. Rows with any
     NULL key component are ignored (null = missing, handled by row checks)."""
     key_cols = list(key_cols)
-    keyed = df.select(*key_cols).na.drop(subset=key_cols)
+    notnull = F.col(key_cols[0]).isNotNull()
+    for k in key_cols[1:]:
+        notnull = notnull & F.col(k).isNotNull()
+    keyed = df.select(*key_cols).where(notnull)  # IsNotNull pushes to scan
     if salt_buckets and salt_buckets > 1:
         stage1 = (
             keyed.withColumn(

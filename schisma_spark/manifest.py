@@ -87,18 +87,20 @@ def run_resumable(
     ``batch_partitions`` limits how many partitions this invocation
     processes (used by the kill/resume test to simulate interruption)."""
     done = manifest.done_partitions()
-    part_values = [
-        str(r[0])
+    remaining = [
+        r[0]
         for r in df.select(part_col).distinct().collect()
         if str(r[0]) not in done
     ]
-    part_values.sort()
+    remaining.sort(key=str)
     if batch_partitions is not None:
-        part_values = part_values[:batch_partitions]
-    if not part_values:
+        remaining = remaining[:batch_partitions]
+    if not remaining:
         return []
-    # one job for the whole remaining batch; pruning pushed to the scan
-    sub = df.where(F.col(part_col).cast("string").isin(part_values))
+    # one job for the whole remaining batch. The isin uses the column's
+    # NATIVE values (not a cast to string) so the In-filter pushes down to
+    # the file source and completed partitions are never re-read.
+    sub = df.where(F.col(part_col).isin(remaining))
     verd = validate_fn(sub).collect()
     now = time.time()
     recs = []
