@@ -258,6 +258,34 @@ def q_quantiles_quantity(spark, sf):
     )
 
 
+def q_new_categories(spark, sf):
+    """Categorical drift via set ops (E14): part types seen in large sizes
+    but absent among small sizes."""
+    from schisma_spark.checks.drift import new_categories
+
+    part = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.concat(F.col("p_type"), F.lit("#"),
+                 (F.col("p_partkey") % 97).cast("string")).alias("cat"),
+    )
+    cur = part.where(F.col("p_partkey") % 2 == 0)
+    base = part.where(F.col("p_partkey") % 2 == 1)
+    return new_categories(cur, base, "cat").select(
+        F.col("cat").alias("new_type")
+    )
+
+
+def q_stats_grouped(spark, sf):
+    st = column_stats(_t(spark, sf, "orders"), ["o_totalprice"],
+                      group_by=["o_orderstatus"])
+    return st.select(
+        "o_orderstatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_value").cast("double").alias("min_v"),
+        F.col("max_value").cast("double").alias("max_v"),
+    )
+
+
 def q_lang_quality_agg(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -307,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_agg": q_lang_quality_agg,
         "validate_json_events": q_validate_json_events,
         "quantiles_quantity": q_quantiles_quantity,
+        "new_categories": q_new_categories,
+        "stats_grouped": q_stats_grouped,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_near_dups": q_minhash_near_dups,
     }
@@ -566,6 +596,22 @@ def oracle_sql() -> dict[str, str]:
               round(quantile_cont(l_quantity, 0.50), 6) AS p50,
               round(quantile_cont(l_quantity, 0.75), 6) AS p75
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "new_categories": """
+            WITH p AS (SELECT p_partkey,
+                         p_type || '#' || (p_partkey % 97)::varchar AS cat
+                       FROM part)
+            SELECT cat AS new_type FROM
+              (SELECT DISTINCT cat FROM p WHERE p_partkey % 2 = 0)
+            EXCEPT ALL
+            SELECT cat FROM
+              (SELECT DISTINCT cat FROM p WHERE p_partkey % 2 = 1)
+        """,
+        "stats_grouped": """
+            SELECT o_orderstatus, count(*)::bigint AS n_rows,
+                   min(o_totalprice)::double AS min_v,
+                   max(o_totalprice)::double AS max_v
+            FROM orders GROUP BY o_orderstatus
         """,
         # lsh_ann_topk / minhash_near_dups: approximate scale paths —
         # intentionally no oracle (rows-only check)

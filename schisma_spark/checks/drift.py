@@ -148,3 +148,13 @@ def drift_verdicts(
         "verdict",
         F.when(F.col("ks") <= threshold, F.lit("pass")).otherwise(F.lit("fail")),
     )
+
+
+def new_categories(
+    current: DataFrame, baseline: DataFrame, col: str
+) -> DataFrame:
+    """Categorical drift: values present now but absent from the baseline
+    (SURVEY §2.B E14 — a set op: distinct-project + except)."""
+    return current.select(col).distinct().exceptAll(
+        baseline.select(col).distinct()
+    )

@@ -325,3 +325,33 @@ class Schema:
 def schema(definition: Any) -> Schema:
     """Factory — analog of ``schisma(def)`` (schisma.mjs:679-681)."""
     return Schema(definition)
+
+
+def recursive(build, depth: int) -> Schema:
+    """Recursive schemas, depth-limited.
+
+    The reference expresses recursion by re-entering ``validate`` from a
+    ``$validate`` thunk (test/recursiveSchema.mjs:6-14) — an unbounded
+    runtime loop. Spark columns have static types, so recursion compiles to
+    an explicit ``depth``-fold expansion: ``build(child)`` receives the
+    schema for the next level (or a permissive leaf at the bottom).
+
+    Example::
+
+        tree = recursive(
+            lambda child: {"name": str,
+                           "kids": Field(typeof=[[child]], required=False)},
+            depth=3,
+        )
+    """
+    leaf: Any = Field(type=str, required=False, validate=lambda c: F_true(c))
+    node: Any = leaf
+    for _ in range(depth):
+        node = build(node)
+    return Schema(node)
+
+
+def F_true(_c):  # permissive leaf predicate for recursion bottom
+    from pyspark.sql import functions as F
+
+    return F.lit(True)

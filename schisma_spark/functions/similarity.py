@@ -78,20 +78,26 @@ def brute_force_topk(
 def hyperplane_signature(vec: Column, dim: int, n_planes: int,
                          seed: str = "ann") -> Column:
     """Deterministic random-hyperplane signature: plane p's i-th coefficient
-    is derived from hash32(f'{seed}:{p}:{i}') mapped to [-1, 1) — constant
-    folded by Catalyst, so per row this is just dim*n_planes multiply-adds.
+    is md5-derived on the DRIVER and embedded as an array literal, so the
+    per-plane dot product is one zip_with+aggregate over the vector — a
+    fixed-size expression tree. (An earlier unrolled form built
+    tables*planes*dim Column nodes and blew up codegen/driver memory.)
     The signature integer is the bucket key."""
+    import hashlib
+
     bits = []
     for pl in range(n_planes):
         coefs = [
-            (F.conv(F.substring(F.md5(F.lit(f"{seed}:{pl}:{i}")), 1, 8), 16, 10)
-             .cast("long") % 2000 - 1000) / 1000.0
+            (int(hashlib.md5(f"{seed}:{pl}:{i}".encode()).hexdigest()[:8], 16)
+             % 2000 - 1000) / 1000.0
             for i in range(dim)
         ]
-        dot = None
-        for i, cf in enumerate(coefs):
-            term = F.element_at(vec, i + 1).cast("double") * cf
-            dot = term if dot is None else dot + term
+        dot = F.aggregate(
+            F.zip_with(vec, F.lit(coefs),
+                       lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bits.append(F.when(dot > 0, F.lit(2**pl).cast("long")).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
@@ -133,9 +139,12 @@ def lsh_ann_topk(
         F.col(id_col).alias("probe_id"),
         F.posexplode(sigs).alias("table_id", "bucket"),
     )
+    # no explicit broadcast hints here: the probe side is small and AQE
+    # will pick broadcast on its own when memory allows; a forced hint can
+    # fail hard ("not enough memory to build and broadcast") in a
+    # long-lived session where an SMJ fallback would have been fine
     cands = (
-        F.broadcast(p)
-        .join(base, on=["table_id", "bucket"])
+        p.join(base, on=["table_id", "bucket"])
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select("probe_id", "neighbor_id")
         .distinct()
@@ -148,7 +157,7 @@ def lsh_ann_topk(
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = (
-        cands.join(F.broadcast(pv), "probe_id")
+        cands.join(pv, "probe_id")
         .join(nv, "neighbor_id")
         .select("probe_id", "neighbor_id", cos.alias("cos"))
     )

@@ -79,6 +79,18 @@ class ValidationRun:
     def verdicts(self, df: DataFrame) -> DataFrame:
         return self.row_pass(df).verdicts([self.config.part_col])
 
+    def write_outputs(self, df: DataFrame, violations_path: str,
+                      verdicts_path: str, dims: dict | None = None,
+                      fmt: str = "auto") -> None:
+        """Persist both sinks (SURVEY §2.B E2): violation rows partitioned
+        by the run's partition column (prunable reads), verdicts as one
+        small table."""
+        from schisma_spark.sources import write_table
+
+        write_table(self.violations(df, dims), violations_path, fmt=fmt,
+                    mode="append", partition_by=[self.config.part_col])
+        write_table(self.verdicts(df), verdicts_path, fmt=fmt, mode="append")
+
     def run_resumable(self, df: DataFrame, manifest_path: str,
                       lineage: dict | None = None,
                       batch_partitions: int | None = None) -> RunResult:

@@ -66,6 +66,7 @@ def main():
         if only and name not in only:
             continue
         try:
+            spark.catalog.clearCache()
             sdf = fn(spark, SF)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
