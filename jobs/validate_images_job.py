@@ -1,0 +1,90 @@
+"""spark-submit entry point for the image-table validation run.
+
+The north-rule invocation mode (BASELINE.json:14):
+
+    spark-submit --py-files /tmp/schisma_spark_pyfiles.zip \
+        jobs/validate_images_job.py \
+        --input <parquet-or-iceberg-ref> \
+        --violations <sink> --verdicts <sink> --manifest <dir> \
+        [--decode] [--sample-k 100] [--part-col part]
+
+Build the zip with::
+
+    python -c "from schisma_spark.session import package_zip; print(package_zip())"
+
+Runs the ≤3-job pipeline (SURVEY §3.2): fused row checks + aggregate checks
+-> violations sink; per-partition verdict agg -> verdicts sink + manifest
+(resumable: rerunning skips manifest-done partitions); optional Arrow
+decode/PSNR pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--violations", required=True)
+    ap.add_argument("--verdicts", required=True)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--part-col", default="part")
+    ap.add_argument("--sample-k", type=int, default=None)
+    ap.add_argument("--decode", action="store_true",
+                    help="also run the Arrow decode/PSNR pass")
+    ap.add_argument("--batch-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    # under spark-submit the session already exists; getOrCreate attaches
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from schisma_spark.image.fixtures import dim_fmt, images_schema_dsl
+    from schisma_spark.runner import RunConfig, ValidationRun
+    from schisma_spark.sources import read_table, write_table
+
+    df = read_table(spark, args.input)
+    run = ValidationRun(
+        images_schema_dsl(),
+        RunConfig(part_col=args.part_col, sample_k=args.sample_k),
+    )
+
+    t0 = time.perf_counter()
+    res = run.run_resumable(
+        df, args.manifest,
+        lineage={"input": args.input, "job": "validate_images_job"},
+        batch_partitions=args.batch_partitions,
+    )
+    if res.manifest_records:  # nothing processed -> nothing to write
+        write_table(res.violations, args.violations, mode="append",
+                    partition_by=[args.part_col])
+        write_table(res.verdicts, args.verdicts, mode="append")
+
+    n_rows = sum(r["n_rows"] for r in res.manifest_records)
+    if args.decode:
+        from schisma_spark.image.decode import decode_validate
+
+        dec = decode_validate(df)
+        bad = dec.where(
+            ~F.col("decode_ok") | ~F.col("pixels_ok") | ~F.col("size_ok")
+        ).count()
+        print(json.dumps({"decode_bad_rows": bad}), file=sys.stderr)
+
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "rows_processed": n_rows,
+        "partitions_done_this_run": len(res.manifest_records),
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

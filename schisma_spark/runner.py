@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from schisma_spark.checks import fk_violations, uniqueness_violations
 from schisma_spark.dsl import Schema
-from schisma_spark.manifest import Manifest, run_resumable
+from schisma_spark.manifest import Manifest
 from schisma_spark.validate import validate
 
 
@@ -93,18 +93,52 @@ class ValidationRun:
 
     def run_resumable(self, df: DataFrame, manifest_path: str,
                       lineage: dict | None = None,
-                      batch_partitions: int | None = None) -> RunResult:
+                      batch_partitions: int | None = None,
+                      dims: dict | None = None) -> RunResult:
+        """Process ONLY the partitions the manifest hasn't marked done; the
+        returned violations/verdicts cover exactly this run's batch, so a
+        fully-resumed rerun costs one distinct() + manifest read and no
+        table recompute."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
         m = Manifest(manifest_path)
-        recs = run_resumable(
-            df,
-            self.config.part_col,
-            lambda sub: self.verdicts(sub),
-            m,
-            lineage=lineage,
-            batch_partitions=batch_partitions,
+        part_col = self.config.part_col
+        done = m.done_partitions()
+        remaining = sorted(
+            (r[0] for r in df.select(part_col).distinct().collect()
+             if str(r[0]) not in done),
+            key=str,
         )
+        if batch_partitions is not None:
+            remaining = remaining[:batch_partitions]
+        if not remaining:
+            empty = df.where(F.lit(False))
+            return RunResult(
+                violations=self.violations(empty, dims),
+                verdicts=self.verdicts(empty),
+                manifest_records=[],
+            )
+        sub = df.where(F.col(part_col).isin(remaining))
+        verd_rows = self.verdicts(sub).collect()
+        now = _time.time()
+        recs = [
+            {
+                "partition": str(r[part_col]),
+                "status": "done",
+                "n_rows": r["n_rows"],
+                "n_violations": r["n_violations"],
+                "n_bad_rows": r["n_bad_rows"],
+                "verdict": r["verdict"],
+                "finished_at": now,
+                "lineage": lineage or {},
+            }
+            for r in verd_rows
+        ]
+        m.append(recs)
         return RunResult(
-            violations=self.violations(df),
-            verdicts=self.verdicts(df),
+            violations=self.violations(sub, dims),
+            verdicts=self.verdicts(sub),
             manifest_records=recs,
         )
