@@ -122,7 +122,44 @@ def main():
         .agg(F.sum(F.col("decode_ok").cast("long")),
              F.sum(F.col("pixels_ok").cast("long"))).collect(),
         rows=N_DECODE,
-        warm=False,
+    )
+
+    # text + repair ops at 2M-row scale (captions as the corpus)
+    from schisma_spark import Field, schema as _schema
+    from schisma_spark.functions import (
+        fingerprint, lang_id, quality_score, token_count_ws,
+    )
+    from schisma_spark.functions.dedup import exact_dup_groups
+
+    caps = imgs.select("image_id", "caption")
+    timed(
+        "caption_text_ops",
+        lambda: caps.select(
+            token_count_ws(F.col("caption")).alias("t"),
+            quality_score(F.col("caption")).alias("q"),
+            lang_id(F.col("caption")).alias("l"),
+            fingerprint(F.col("caption")).alias("f"),
+        ).agg(F.sum("t"), F.avg("q"), F.count("l"), F.count("f")).collect(),
+        rows=N_IMAGES,
+    )
+    timed(
+        "caption_exact_dedup",
+        lambda: exact_dup_groups(caps, "caption", "image_id")
+        .agg(F.count(F.lit(1))).collect(),
+        rows=N_IMAGES,
+    )
+    conform_schema = _schema({
+        "w": Field(type=float, default=0.0),
+        "h": Field(type=float, default=0.0),
+        "fmt": Field(type=str, default="raw"),
+        "caption": Field(type=str, default=""),
+    })
+    timed(
+        "image_conform",
+        lambda: conform_schema.conform(
+            imgs.drop("bytes"), keys=["image_id", "part"]
+        ).agg(F.sum("w"), F.count(F.lit(1))).collect(),
+        rows=N_IMAGES,
     )
 
     # driver testdata queries (sf0.1)

@@ -1,0 +1,58 @@
+"""Regression guards on physical-plan properties the engine promises
+(SURVEY §7 hard-part (e), §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schisma_spark.image.fixtures import images_schema_dsl, images_table
+
+
+@pytest.fixture(scope="module")
+def img_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("imgs") / "t")
+    images_table(spark, 200, seed=42).write.parquet(p)
+    return p
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stats_path_never_reads_bytes(spark, img_parquet):
+    df = spark.read.parquet(img_parquet)
+    sch = images_schema_dsl()
+    verd = sch.validate(df, keys=["image_id", "part"],
+                        ignore_unexpected=True).verdicts(["part"])
+    plan = _plan(verd)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("bytes" not in l for l in read), \
+        "stats path must not read the payload column"
+
+
+def test_violations_filter_below_explode(spark, img_parquet):
+    # Catalyst infers size(viols)>0 under the Generate: clean rows are
+    # filtered before the explode (verified once in /verify; guard it)
+    df = spark.read.parquet(img_parquet)
+    sch = images_schema_dsl()
+    v = sch.validate(df, keys=["image_id"], ignore_unexpected=True).violations
+    plan = _plan(v)
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "size(" in plan  # inferred pre-filter present
+
+
+def test_validate_single_scan_no_shuffle(spark, img_parquet):
+    df = spark.read.parquet(img_parquet)
+    sch = images_schema_dsl()
+    v = sch.validate(df, keys=["image_id"], ignore_unexpected=True).violations
+    plan = _plan(v)
+    assert "Exchange" not in plan, "row validation must be shuffle-free"
+    assert plan.count("Scan parquet") == 1
+
+
+def test_resume_pruning_pushes_in_filter(spark, img_parquet):
+    df = spark.read.parquet(img_parquet)
+    pruned = df.where(F.col("part").isin([0, 1, 2]))
+    plan = _plan(pruned)
+    assert "PushedFilters: [In(part" in plan
