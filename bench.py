@@ -108,20 +108,16 @@ def main():
         ).collect(),
         rows=N_IMAGES,
     )
-    # deterministic CONTIGUOUS id-range sample: parquet row-group min/max
-    # stats prune the other 95% of files, so the fat `bytes` pages of
-    # unsampled rows are never read (a scattered hash-sample — or a
-    # limit(), which also serializes onto one task — reads them all)
-    hi = f"img-{N_DECODE:012d}"
-    # repartition: the pruned sample lives in ~4 files; spread the
-    # Python-side decode over every core (shuffles ~200MB, wins ~8x)
-    dec = imgs.where(F.col("image_id") < hi).repartition(CPUS * 2)
+    # decode the FULL table: natural file splits parallelize across all
+    # cores with no shuffle. (A pruned sample + repartition measured 7x
+    # slower per row — the shuffle of fat binary rows and the straggler
+    # tail dominate; at real scale you decode everything anyway.)
     timed(
         "image_decode_psnr",
-        lambda: decode_validate(dec)
+        lambda: decode_validate(imgs)
         .agg(F.sum(F.col("decode_ok").cast("long")),
              F.sum(F.col("pixels_ok").cast("long"))).collect(),
-        rows=N_DECODE,
+        rows=N_IMAGES,
     )
 
     # text + repair ops at 2M-row scale (captions as the corpus)
