@@ -158,6 +158,27 @@ def q_conform_events(spark, sf):
     return sch.conform(ev, keys=["event_id"])
 
 
+def q_conform_coercions(spark, sf):
+    """The JS coercion matrix (schisma.mjs:579-607) end-to-end: a stringly/
+    mistyped view of orders repaired in one projection."""
+    src = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("oops"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("price_str"),                       # string -> Number
+        F.col("o_totalprice").alias("price_to_str"),  # double -> String
+        (F.col("o_orderkey") % 3).cast("double").alias("flag_num"),  # -> Boolean
+    )
+    sch = schema(
+        {
+            "price_str": Field(type=float, default=-1.0),
+            "price_to_str": str,
+            "flag_num": bool,
+        }
+    )
+    return sch.conform(src, keys=["o_orderkey"])
+
+
 def q_rollup_metrics(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -325,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_quantity": q_drift_ks_quantity,
         "topk_violations": q_topk_violations,
         "conform_events": q_conform_events,
+        "conform_coercions": q_conform_coercions,
         "rollup_metrics": q_rollup_metrics,
         "text_stats": q_text_stats,
         "dedup_prefix": q_dedup_prefix,
@@ -349,7 +371,10 @@ _SHINGLES3 = (
     "list_distinct(list_transform(range(1, greatest(len(w)-1, 1)), "
     "i -> w[i]||' '||w[i+1]||' '||w[i+2]))"
 )
-_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+#: blank-text guard matches the engine's words() ('' -> empty array;
+#: DuckDB's split of '' yields [''] which would hash in simhash)
+_WORDS = ("(CASE WHEN trim(text) = '' THEN []::varchar[] "
+          "ELSE string_split_regex(trim(lower(text)), '\\s+') END)")
 _H32 = "('0x'||substr(md5({x}),1,8))::int64"
 _FP = ("('0x'||substr(md5(regexp_replace(lower(trim({x})),'\\s+',' ','g'))"
        ",1,15))::int64")
@@ -505,6 +530,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id,
                     CASE WHEN event_id % 10 = 0 THEN 'bad'
                          ELSE props->>'$.k' END AS x FROM events)
+        """,
+        "conform_coercions": """
+            SELECT o_orderkey,
+              CASE WHEN src IS NULL THEN -1.0
+                   WHEN trim(src) = '' THEN 0.0
+                   ELSE coalesce(try_cast(src AS double), -1.0) END
+                AS price_str,
+              CASE WHEN o_totalprice = floor(o_totalprice)
+                        AND abs(o_totalprice) < 1e15
+                   THEN o_totalprice::bigint::varchar
+                   ELSE o_totalprice::varchar END AS price_to_str,
+              ((o_orderkey % 3)::double != 0) AS flag_num
+            FROM (SELECT o_orderkey, o_totalprice,
+                    CASE WHEN o_orderkey % 5 = 0 THEN 'oops'
+                         ELSE o_totalprice::varchar END AS src
+                  FROM orders)
         """,
         "rollup_metrics": """
             SELECT l_returnflag, l_linestatus, count(*)::bigint AS n_rows,

@@ -56,22 +56,27 @@ def main(argv=None):
         RunConfig(part_col=args.part_col, sample_k=args.sample_k),
     )
 
+    def sinks(viols, verd):
+        # invoked before the manifest append: a crash here redoes the
+        # batch instead of losing its outputs
+        write_table(viols, args.violations, mode="append",
+                    partition_by=[args.part_col])
+        write_table(verd, args.verdicts, mode="append")
+
     t0 = time.perf_counter()
     res = run.run_resumable(
         df, args.manifest,
         lineage={"input": args.input, "job": "validate_images_job"},
         batch_partitions=args.batch_partitions,
+        sinks=sinks,
     )
-    if res.manifest_records:  # nothing processed -> nothing to write
-        write_table(res.violations, args.violations, mode="append",
-                    partition_by=[args.part_col])
-        write_table(res.verdicts, args.verdicts, mode="append")
 
     n_rows = sum(r["n_rows"] for r in res.manifest_records)
-    if args.decode:
+    if args.decode and res.manifest_records:
         from schisma_spark.image.decode import decode_validate
 
-        dec = decode_validate(df)
+        # decode exactly the batch this run processed, not the whole table
+        dec = decode_validate(res.batch)
         bad = dec.where(
             ~F.col("decode_ok") | ~F.col("pixels_ok") | ~F.col("size_ok")
         ).count()

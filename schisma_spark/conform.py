@@ -364,7 +364,13 @@ class Conformer:
                     create_value(child, _UNSET, self.populate_arrays),
                     dtype.valueType,
                 )
-                ins = F.map_concat(out, F.create_map(F.lit(k), dl))
+                # element_at is NULL both for an absent key and for a
+                # present-but-null value; drop the null-valued entry first
+                # or map_concat throws DUPLICATED_MAP_KEY
+                cleaned = F.map_filter(
+                    out, lambda k2, v2: ~((k2 == F.lit(k)) & v2.isNull())
+                )
+                ins = F.map_concat(cleaned, F.create_map(F.lit(k), dl))
                 out = F.when(
                     F.element_at(out, F.lit(k)).isNull(), ins
                 ).otherwise(out)
@@ -397,6 +403,8 @@ def conform(
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     cols: list[Column] = [F.col(k) for k in keys]
     for k, child in alt.fields.items():
+        if k in keys:  # key columns pass through untouched (like validate's
+            continue   # exempt set); emitting both would duplicate the name
         if k in dtypes:
             out, _ = conf.conform_node(child, F.col(k), dtypes[k])
             cols.append(out.alias(k))

@@ -71,6 +71,56 @@ class Manifest:
         }
 
 
+def plan_remaining(
+    df: DataFrame,
+    part_col: str,
+    manifest: Manifest,
+    batch_partitions: int | None = None,
+) -> tuple[DataFrame | None, list]:
+    """The resume planner shared by manifest- and runner-level APIs:
+    returns (sub_df over not-yet-done partitions, their values), or
+    (None, []) when everything is done.
+
+    The isin filter uses the column's NATIVE values so the In-filter pushes
+    down to the file source (a cast-to-string blocked pushdown). A NULL
+    partition value is handled explicitly (isin never matches NULL under
+    SQL three-valued logic) and recorded under the string 'None'."""
+    done = manifest.done_partitions()
+    remaining = [
+        r[0]
+        for r in df.select(part_col).distinct().collect()
+        if str(r[0]) not in done
+    ]
+    remaining.sort(key=str)
+    if batch_partitions is not None:
+        remaining = remaining[:batch_partitions]
+    if not remaining:
+        return None, []
+    non_null = [v for v in remaining if v is not None]
+    cond = F.col(part_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in remaining):
+        cond = cond | F.col(part_col).isNull()
+    return df.where(cond), remaining
+
+
+def verdict_records(verd_rows, part_col: str,
+                    lineage: dict | None = None) -> list[dict]:
+    now = time.time()
+    return [
+        {
+            "partition": str(r[part_col]),
+            "status": "done",
+            "n_rows": r["n_rows"],
+            "n_violations": r["n_violations"],
+            "n_bad_rows": r["n_bad_rows"],
+            "verdict": r["verdict"],
+            "finished_at": now,
+            "lineage": lineage or {},
+        }
+        for r in verd_rows
+    ]
+
+
 def run_resumable(
     df: DataFrame,
     part_col: str,
@@ -86,36 +136,9 @@ def run_resumable(
 
     ``batch_partitions`` limits how many partitions this invocation
     processes (used by the kill/resume test to simulate interruption)."""
-    done = manifest.done_partitions()
-    remaining = [
-        r[0]
-        for r in df.select(part_col).distinct().collect()
-        if str(r[0]) not in done
-    ]
-    remaining.sort(key=str)
-    if batch_partitions is not None:
-        remaining = remaining[:batch_partitions]
-    if not remaining:
+    sub, remaining = plan_remaining(df, part_col, manifest, batch_partitions)
+    if sub is None:
         return []
-    # one job for the whole remaining batch. The isin uses the column's
-    # NATIVE values (not a cast to string) so the In-filter pushes down to
-    # the file source and completed partitions are never re-read.
-    sub = df.where(F.col(part_col).isin(remaining))
-    verd = validate_fn(sub).collect()
-    now = time.time()
-    recs = []
-    for r in verd:
-        recs.append(
-            {
-                "partition": str(r[part_col]),
-                "status": "done",
-                "n_rows": r["n_rows"],
-                "n_violations": r["n_violations"],
-                "n_bad_rows": r["n_bad_rows"],
-                "verdict": r["verdict"],
-                "finished_at": now,
-                "lineage": lineage or {},
-            }
-        )
+    recs = verdict_records(validate_fn(sub).collect(), part_col, lineage)
     manifest.append(recs)
     return recs

@@ -39,6 +39,7 @@ class RunResult:
     violations: DataFrame
     verdicts: DataFrame
     manifest_records: list[dict] = field(default_factory=list)
+    batch: DataFrame | None = None  # the slice this run actually processed
 
 
 class ValidationRun:
@@ -94,51 +95,46 @@ class ValidationRun:
     def run_resumable(self, df: DataFrame, manifest_path: str,
                       lineage: dict | None = None,
                       batch_partitions: int | None = None,
-                      dims: dict | None = None) -> RunResult:
+                      dims: dict | None = None,
+                      sinks=None) -> RunResult:
         """Process ONLY the partitions the manifest hasn't marked done; the
         returned violations/verdicts cover exactly this run's batch, so a
         fully-resumed rerun costs one distinct() + manifest read and no
-        table recompute."""
-        import time as _time
+        table recompute.
 
+        ``sinks(violations_df, verdicts_df)`` — when given — is invoked
+        BEFORE the manifest append, so a crash between sink writes and the
+        manifest commit redoes the batch rather than losing its outputs
+        (manifest-marked-done must imply sinks-written)."""
         from pyspark.sql import functions as F
+
+        from schisma_spark.manifest import plan_remaining, verdict_records
 
         m = Manifest(manifest_path)
         part_col = self.config.part_col
-        done = m.done_partitions()
-        remaining = sorted(
-            (r[0] for r in df.select(part_col).distinct().collect()
-             if str(r[0]) not in done),
-            key=str,
-        )
-        if batch_partitions is not None:
-            remaining = remaining[:batch_partitions]
-        if not remaining:
+        sub, remaining = plan_remaining(df, part_col, m, batch_partitions)
+        if sub is None:
             empty = df.where(F.lit(False))
             return RunResult(
                 violations=self.violations(empty, dims),
                 verdicts=self.verdicts(empty),
                 manifest_records=[],
+                batch=empty,
             )
-        sub = df.where(F.col(part_col).isin(remaining))
-        verd_rows = self.verdicts(sub).collect()
-        now = _time.time()
-        recs = [
-            {
-                "partition": str(r[part_col]),
-                "status": "done",
-                "n_rows": r["n_rows"],
-                "n_violations": r["n_violations"],
-                "n_bad_rows": r["n_bad_rows"],
-                "verdict": r["verdict"],
-                "finished_at": now,
-                "lineage": lineage or {},
-            }
-            for r in verd_rows
-        ]
-        m.append(recs)
+        verd_df = self.verdicts(sub)
+        verd_rows = verd_df.collect()
+        recs = verdict_records(verd_rows, part_col, lineage)
+        # rebuild the small verdicts frame from the collected rows so
+        # callers don't re-run the scan+aggregate a second time
+        spark = df.sparkSession
+        verd_small = spark.createDataFrame(verd_rows, verd_df.schema)
+        viols = self.violations(sub, dims)
+        if sinks is not None:
+            sinks(viols, verd_small)
+        m.append(recs)  # LAST: done-in-manifest implies sinks committed
         return RunResult(
-            violations=self.violations(sub, dims),
-            verdicts=self.verdicts(sub),
+            violations=viols,
+            verdicts=verd_small,
             manifest_records=recs,
+            batch=sub,
         )

@@ -22,14 +22,17 @@ def _has_iceberg(spark: SparkSession) -> bool:
 
 def read_table(spark: SparkSession, ref: str, fmt: str = "auto") -> DataFrame:
     """``ref`` is a path (parquet) or a catalog table name (iceberg).
-    fmt: auto | parquet | iceberg."""
-    if fmt == "iceberg" or (fmt == "auto" and "/" not in ref):
-        if fmt == "iceberg" and not _has_iceberg(spark):
+    fmt: auto | parquet | iceberg. An EXPLICIT fmt='iceberg' always goes
+    through the iceberg reader (never silently falls back to raw parquet,
+    which would read internal data files incl. dead snapshots)."""
+    if fmt == "iceberg":
+        if not _has_iceberg(spark):
             raise RuntimeError("iceberg runtime not on classpath")
-        if _has_iceberg(spark) and "/" not in ref:
+        return spark.read.format("iceberg").load(ref)
+    if fmt == "auto" and "/" not in ref:
+        if _has_iceberg(spark):
             return spark.read.format("iceberg").load(ref)
-        if "/" not in ref:
-            return spark.table(ref)
+        return spark.table(ref)
     return spark.read.parquet(ref)
 
 

@@ -1,0 +1,93 @@
+"""Regression tests for the round-1 code-review findings."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from schisma_spark import Field, schema
+from schisma_spark.manifest import Manifest, run_resumable
+from schisma_spark.runner import RunConfig, ValidationRun
+from schisma_spark.image.fixtures import images_schema_dsl, images_table
+
+
+def test_conform_map_null_valued_required_key(spark):
+    # element_at NULL is ambiguous (absent vs null value); inserting the
+    # default used to map_concat a duplicate key -> DUPLICATED_MAP_KEY
+    df = spark.createDataFrame(
+        [Row(m={"k": None, "x_1": "5"}), Row(m={"x_1": "6"})],
+        T.StructType(
+            [T.StructField("m", T.MapType(T.StringType(), T.StringType()))]
+        ),
+    )
+    sch = schema({"m": {"k": Field(type=str, default="dflt"),
+                        "$/^x_": [str]}})
+    rows = sch.conform(df).collect()
+    assert rows[0]["m"]["k"] == "dflt" and rows[0]["m"]["x_1"] == "5"
+    assert rows[1]["m"]["k"] == "dflt"
+
+
+def test_conform_key_column_in_schema_not_duplicated(spark):
+    df = spark.createDataFrame([Row(event_id=1, v="3")])
+    sch = schema({"event_id": int, "v": float})
+    out = sch.conform(df, keys=["event_id"])
+    assert out.columns.count("event_id") == 1
+    assert out.select("event_id").collect()[0][0] == 1  # no ambiguity
+
+
+def test_resume_with_null_partition(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(part=None, v=1.0), Row(part=1, v=2.0), Row(part=2, v=None)],
+        T.StructType([T.StructField("part", T.IntegerType()),
+                      T.StructField("v", T.DoubleType())]),
+    )
+    sch = schema({"v": float})
+    m = Manifest(str(tmp_path / "m"))
+    recs = run_resumable(
+        df, "part",
+        lambda s: sch.validate(s, keys=["part"],
+                               ignore_unexpected=True).verdicts(["part"]),
+        m,
+    )
+    assert {r["partition"] for r in recs} == {"None", "1", "2"}
+    assert sum(r["n_rows"] for r in recs) == 3
+    # second run: nothing remains (NULL partition included)
+    assert run_resumable(
+        df, "part",
+        lambda s: sch.validate(s, keys=["part"],
+                               ignore_unexpected=True).verdicts(["part"]),
+        m,
+    ) == []
+
+
+def test_sinks_written_before_manifest_commit(spark, tmp_path):
+    imgs = images_table(spark, 200, seed=42)
+    run = ValidationRun(images_schema_dsl(), RunConfig())
+    order = []
+
+    def sinks(viols, verd):
+        order.append("sinks")
+        assert verd.count() > 0  # batch verdicts, no second scan needed
+
+    mpath = str(tmp_path / "m")
+    res = run.run_resumable(imgs, mpath, sinks=sinks)
+    order.append("returned")
+    assert order == ["sinks", "returned"]
+    assert len(res.manifest_records) == 16
+    assert res.batch is not None and res.batch.count() == 200
+
+
+def test_sink_failure_leaves_manifest_unmarked(spark, tmp_path):
+    imgs = images_table(spark, 100, seed=42)
+    run = ValidationRun(images_schema_dsl(), RunConfig())
+    mpath = str(tmp_path / "m")
+
+    def boom(viols, verd):
+        raise RuntimeError("sink unavailable")
+
+    try:
+        run.run_resumable(imgs, mpath, sinks=boom)
+    except RuntimeError:
+        pass
+    assert Manifest(mpath).done_partitions() == set()  # batch will redo
