@@ -516,21 +516,41 @@ def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
     def entry_res(e: Column) -> Column:
         k, v = e["key"], e["value"]
         w = F.concat_ws(".", where, k)
-        branches = []
+        # every MATCHING pattern is tried and the best result kept —
+        # non-problems preferred over problems, then max h
+        # (schisma.mjs:256-295: results list consulted before errors)
+        NOMATCH = -(10**9)
+        per = []
         for pat, alts in alt.regex:
             v_, p_, h_ = _best_of_patterns([alts], v, vdt, w, opts)
-            branches.append((k.rlike(pat), v_, p_, h_))
+            score = (
+                h_.cast("long")
+                + F.when(p_, F.lit(-100000)).otherwise(F.lit(0))
+            )
+            per.append((
+                F.when(k.rlike(pat), score).otherwise(F.lit(NOMATCH).cast("long")),
+                v_, p_, h_,
+            ))
         uk_v = F.array(viol(UNEXPECTED_KEY, where=w,
                             received=stringify(v, vdt)))
         if opts.ignore_unexpected:
-            expr = F.struct(empty_varr().alias("v"), F.lit(False).alias("p"),
-                            F.lit(0).cast("int").alias("h"))
+            unexpected = F.struct(empty_varr().alias("v"),
+                                  F.lit(False).alias("p"),
+                                  F.lit(0).cast("int").alias("h"))
         else:
-            expr = F.struct(uk_v.alias("v"), F.lit(True).alias("p"),
-                            F.lit(-1).cast("int").alias("h"))
-        for cond, v_, p_, h_ in reversed(branches):
-            expr = F.when(cond, F.struct(v_.alias("v"), p_.alias("p"),
-                                         h_.cast("int").alias("h"))).otherwise(expr)
+            unexpected = F.struct(uk_v.alias("v"), F.lit(True).alias("p"),
+                                  F.lit(-1).cast("int").alias("h"))
+        if per:
+            scores = F.array(*[s for s, *_ in per])
+            best = F.array_position(scores, F.array_max(scores)).cast("int")
+            chosen = F.struct(
+                F.element_at(F.array(*[v_ for _, v_, _, _ in per]), best).alias("v"),
+                F.element_at(F.array(*[p_ for _, _, p_, _ in per]), best).alias("p"),
+                F.element_at(F.array(*[h_.cast("int") for *_, h_ in per]), best).alias("h"),
+            )
+            expr = F.when(F.array_max(scores) > NOMATCH, chosen).otherwise(unexpected)
+        else:
+            expr = unexpected
         skip = F.struct(empty_varr().alias("v"), F.lit(False).alias("p"),
                         F.lit(0).cast("int").alias("h"))
         return F.when(F.array_contains(fixed_arr, k), skip).otherwise(expr)

@@ -79,3 +79,70 @@ def validate_json(
     keys = list(keys or [])
     viols = json_checks(F.col(json_col), sch, opts)
     return ValidationResult(df=df, keys=keys, viols_col=viols)
+
+
+def conform_json(
+    df: DataFrame,
+    json_col: str,
+    sch: Schema,
+    keys: list[str] | None = None,
+    remove_unexpected: bool = True,
+    insert_missing: bool = True,
+) -> DataFrame:
+    """Repair a JSON string column in place: parse -> drop unexpected keys
+    (regex-matched keys kept), insert required-key defaults, coerce value
+    types per the JS table -> re-serialize. Output column keeps its name;
+    malformed JSON is replaced by the schema's create() JSON. One
+    projection, JVM-side (`from_json`/`map_*`/`to_json`)."""
+    import json as _json
+
+    from schisma_spark.conform import Conformer
+    from schisma_spark.create import create_value
+    from schisma_spark.dsl import _UNSET
+
+    alt = sch.root.alts[0]
+    if not isinstance(alt, ObjectAlt):
+        raise TypeError("json schema root must be an object")
+    keys = list(keys or [])
+    col = F.col(json_col)
+    m = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
+    conf = Conformer(remove_unexpected, insert_missing, False, False, False)
+    forced = ObjectAlt(
+        fields={k: _force_castable(v) for k, v in alt.fields.items()},
+        regex=alt.regex,
+    )
+    repaired, _ = conf._within_map(forced, m, T.MapType(T.StringType(),
+                                                        T.StringType()))
+    # value coercion: castable fixed keys re-written via try_cast + default
+    entries = repaired
+    for k, child in forced.fields.items():
+        tgt = child.alts[0] if child.alts else None
+        from schisma_spark.dsl import AtomAlt
+        from schisma_spark import typeatoms as ta
+
+        if not isinstance(tgt, AtomAlt) or tgt.atom in (ta.STRING, ta.NULL):
+            continue
+        dflt = create_value(child, _UNSET)
+        cur = F.element_at(entries, F.lit(k))
+        fixed_val = F.coalesce(
+            cur.try_cast(tgt.atom.spark_type).cast("string"),
+            F.lit(None if dflt is None else str(dflt)),
+        )
+        cleaned = F.map_filter(entries, lambda k2, _v: k2 != F.lit(k))
+        entries = F.when(
+            cur.isNotNull(),
+            F.map_concat(cleaned, F.create_map(F.lit(k), fixed_val)),
+        ).otherwise(entries)
+    default_json = _json.dumps(
+        {k: create_value(v, _UNSET) for k, v in alt.fields.items()
+         if v.required},
+        separators=(",", ":"),
+    )
+    out = (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(m.isNull(), F.lit(default_json))  # malformed -> create()
+        .otherwise(F.to_json(entries))
+        .alias(json_col)
+    )
+    others = [c for c in df.columns if c != json_col]
+    return df.select(*others, out)
