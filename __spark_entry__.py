@@ -307,6 +307,38 @@ def q_stats_grouped(spark, sf):
     )
 
 
+def q_events_daily(spark, sf):
+    """Tumbling-day event rollup (the batch twin of the streaming windowed
+    drift): counts + order-free extremes per (day, event_type)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").cast("double").alias("min_v"),
+            F.max("value").cast("double").alias("max_v"),
+        )
+    )
+
+
+def q_conform_json_events(spark, sf):
+    """conform_json round trip (rows-only: JSON key order is engine-
+    specific, so value-hash comparison is not meaningful)."""
+    from schisma_spark.json_validate import conform_json
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 9 == 0, F.lit('{"k": "bad", "zz": 1}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    sch = schema({"k": Field(type=float, default=-1.0)})
+    return conform_json(ev, "props", sch, keys=["event_id"])
+
+
 def q_lang_quality_agg(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -359,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_quantity": q_quantiles_quantity,
         "new_categories": q_new_categories,
         "stats_grouped": q_stats_grouped,
+        "events_daily": q_events_daily,
+        "conform_json_events": q_conform_json_events,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_near_dups": q_minhash_near_dups,
     }
@@ -654,6 +688,13 @@ def oracle_sql() -> dict[str, str]:
                    max(o_totalprice)::double AS max_v
             FROM orders GROUP BY o_orderstatus
         """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*)::bigint AS n,
+                   min(value)::double AS min_v, max(value)::double AS max_v
+            FROM events GROUP BY 1, 2
+        """,
+        # conform_json_events: rows-only (JSON key order is engine-specific)
         # lsh_ann_topk / minhash_near_dups: approximate scale paths —
         # intentionally no oracle (rows-only check)
     }
