@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from schisma_spark.functions.portable import hash60
+from schisma_spark.functions.portable import bind, hash60
 
 #: BPE-ish tokenization: letter runs | digit runs | single non-space symbol
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -58,29 +58,48 @@ def quality_score(c: Column) -> Column:
     """Deterministic 0..1 quality heuristic: four equal-weight indicators
     (word count in [10, 10000], mean word length in [3, 12], punctuation
     ratio < 0.1, stopword ratio > 0.03). DuckDB twin is the same CASE
-    arithmetic."""
-    words = token_count_ws(c)
-    awl = F.length(F.trim(c)) / F.greatest(words, F.lit(1))
+    arithmetic. The word count is let-bound (referenced by three
+    indicators; a naive composition re-splits the text each time)."""
     ind = lambda b: F.when(b, 0.25).otherwise(0.0)  # noqa: E731
-    return (
-        ind(words.between(10, 10000))
-        + ind(awl.between(3.0, 12.0))
-        + ind(punct_ratio(c) < 0.1)
-        + ind(stopword_ratio(c) > 0.03)
-    ).cast("double")
+
+    def body(words: Column) -> Column:
+        awl = F.length(F.trim(c)) / F.greatest(words, F.lit(1))
+        stop = (
+            F.regexp_count(F.lower(c), F.lit(EN_STOP_RE))
+            / F.greatest(words, F.lit(1))
+        )
+        return (
+            ind(words.between(10, 10000))
+            + ind(awl.between(3.0, 12.0))
+            + ind(punct_ratio(c) < 0.1)
+            + ind(stop > 0.03)
+        ).cast("double")
+
+    return bind(token_count_ws(c), body)
 
 
 def lang_id(c: Column) -> Column:
     """Stopword-count argmax over LANG_STOPWORDS; 'und' when no stopword of
-    any language occurs. First max wins (declaration order)."""
-    lower = F.lower(c)
-    scores = [F.regexp_count(lower, F.lit(p)) for p in LANG_STOPWORDS.values()]
-    arr = F.array(*[s.cast("int") for s in scores])
-    mx = F.array_max(arr)
+    any language occurs. First max wins (declaration order). The lowered
+    text and the score array are let-bound (scores are referenced by both
+    array_max and array_position)."""
     langs = F.array(*[F.lit(k) for k in LANG_STOPWORDS])
-    return F.when(mx <= 0, F.lit("und")).otherwise(
-        F.element_at(langs, F.array_position(arr, mx).cast("int"))
-    )
+
+    def body(lower: Column) -> Column:
+        arr = F.array(
+            *[F.regexp_count(lower, F.lit(p)).cast("int")
+              for p in LANG_STOPWORDS.values()]
+        )
+        return bind(
+            arr,
+            lambda a: F.when(F.array_max(a) <= 0, F.lit("und")).otherwise(
+                F.element_at(
+                    langs, F.array_position(a, F.array_max(a)).cast("int")
+                )
+            ),
+        )
+
+    return bind(F.lower(c), body)
 
 
 def fingerprint(c: Column) -> Column:
