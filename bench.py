@@ -144,6 +144,15 @@ def main():
         .agg(F.count(F.lit(1))).collect(),
         rows=N_IMAGES,
     )
+    from schisma_spark.functions.dedup import minhash_signature, word_shingles
+
+    sig = minhash_signature(word_shingles(F.col("caption"), 2), n_hashes=16)
+    timed(
+        "caption_minhash_sigs",
+        lambda: caps.select(sig.alias("s"))
+        .agg(F.count(F.lit(1)), F.min(F.element_at(F.col("s"), 1))).collect(),
+        rows=N_IMAGES,
+    )
     conform_schema = _schema({
         "w": Field(type=float, default=0.0),
         "h": Field(type=float, default=0.0),

@@ -13,22 +13,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
+    # NB: attribute access on spark._jvm returns a truthy JavaPackage even
+    # for classes that don't exist — Class.forName is the real test
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
 
 
-def read_table(spark: SparkSession, ref: str, fmt: str = "auto") -> DataFrame:
-    """``ref`` is a path (parquet) or a catalog table name (iceberg).
-    fmt: auto | parquet | iceberg. An EXPLICIT fmt='iceberg' always goes
-    through the iceberg reader (never silently falls back to raw parquet,
-    which would read internal data files incl. dead snapshots)."""
+def read_table(spark: SparkSession, ref: str, fmt: str = "auto",
+               schema=None) -> DataFrame:
+    """``ref`` is a path (parquet/jsonl/csv) or a catalog table name
+    (iceberg). fmt: auto | parquet | iceberg | jsonl | csv. An EXPLICIT
+    fmt='iceberg' always goes through the iceberg reader (never silently
+    falls back to raw parquet, which would read internal data files incl.
+    dead snapshots). jsonl/csv take an optional explicit ``schema`` —
+    always pass one in production (schema inference scans the data twice
+    and guesses types)."""
     if fmt == "iceberg":
         if not _has_iceberg(spark):
             raise RuntimeError("iceberg runtime not on classpath")
         return spark.read.format("iceberg").load(ref)
+    if fmt == "jsonl":
+        r = spark.read
+        return (r.schema(schema) if schema else r).json(ref)
+    if fmt == "csv":
+        r = spark.read.option("header", "true")
+        return (r.schema(schema) if schema else
+                r.option("inferSchema", "true")).csv(ref)
     if fmt == "auto" and "/" not in ref:
         if _has_iceberg(spark):
             return spark.read.format("iceberg").load(ref)
@@ -48,4 +63,9 @@ def write_table(df: DataFrame, ref: str, fmt: str = "auto",
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(ref)
+    if fmt == "jsonl":
+        w.json(ref)
+    elif fmt == "csv":
+        w.option("header", "true").csv(ref)
+    else:
+        w.parquet(ref)
