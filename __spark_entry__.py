@@ -336,7 +336,7 @@ def q_conform_json_events(spark, sf):
         .alias("props"),
     )
     sch = schema({"k": Field(type=float, default=-1.0)})
-    return conform_json(ev, "props", sch, keys=["event_id"])
+    return conform_json(ev, "props", sch)
 
 
 def q_lang_quality_agg(spark, sf):

@@ -1,12 +1,12 @@
-"""Drift-baseline snapshots (FIXTURES.md A4): persist per-column sketch
+"""Drift-baseline snapshots (FIXTURES.md A4): persist per-column histogram
 state from a clean run, reload it later for KS comparison.
 
-A baseline is a directory of small parquet tables:
-  histograms/  — (column, group..., bin, cnt) fixed-bin counts
-  quantiles/   — (column, group..., probs array) approx_percentile grid
-  meta.json    — bin ranges + probs, so compare() re-bins identically
+A baseline is a directory:
+  hist/<column>/  — (group..., bin, cnt) fixed-bin parquet per column
+  meta.json       — per-column (lo, hi, nbins) + group_by, so compare()
+                    re-bins the current data identically
 
-Everything is mergeable-by-addition, so incremental refreshes are a
+Counts are mergeable-by-addition, so incremental refreshes are a
 unionByName + re-aggregate away.
 """
 
@@ -76,6 +76,11 @@ def compare_to_baseline(
         v = drift_verdicts(cur, base, threshold,
                            group_by=list(spec.group_by))
         outs.append(v.select(F.lit(col).alias("column"), "*"))
+    if not outs:
+        raise ValueError(
+            f"no baseline columns to compare: requested {list(columns or [])},"
+            f" baseline has {list(spec.columns)}"
+        )
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)

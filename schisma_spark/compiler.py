@@ -514,23 +514,18 @@ def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
         else F.array().cast("array<string>")
 
     def entry_res(e: Column) -> Column:
+        from schisma_spark.functions.portable import bind
+
         k, v = e["key"], e["value"]
         w = F.concat_ws(".", where, k)
         # every MATCHING pattern is tried and the best result kept —
         # non-problems preferred over problems, then max h
-        # (schisma.mjs:256-295: results list consulted before errors)
+        # (schisma.mjs:256-295: results list consulted before errors).
+        # The per-pattern results are materialized ONCE into a bound array
+        # of structs; the argmax then just indexes it (inlining the check
+        # tree into scores + three selection arrays multiplied the work and
+        # codegen size ~4x).
         NOMATCH = -(10**9)
-        per = []
-        for pat, alts in alt.regex:
-            v_, p_, h_ = _best_of_patterns([alts], v, vdt, w, opts)
-            score = (
-                h_.cast("long")
-                + F.when(p_, F.lit(-100000)).otherwise(F.lit(0))
-            )
-            per.append((
-                F.when(k.rlike(pat), score).otherwise(F.lit(NOMATCH).cast("long")),
-                v_, p_, h_,
-            ))
         uk_v = F.array(viol(UNEXPECTED_KEY, where=w,
                             received=stringify(v, vdt)))
         if opts.ignore_unexpected:
@@ -540,17 +535,37 @@ def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
         else:
             unexpected = F.struct(uk_v.alias("v"), F.lit(True).alias("p"),
                                   F.lit(-1).cast("int").alias("h"))
-        if per:
-            scores = F.array(*[s for s, *_ in per])
-            best = F.array_position(scores, F.array_max(scores)).cast("int")
-            chosen = F.struct(
-                F.element_at(F.array(*[v_ for _, v_, _, _ in per]), best).alias("v"),
-                F.element_at(F.array(*[p_ for _, _, p_, _ in per]), best).alias("p"),
-                F.element_at(F.array(*[h_.cast("int") for *_, h_ in per]), best).alias("h"),
-            )
-            expr = F.when(F.array_max(scores) > NOMATCH, chosen).otherwise(unexpected)
-        else:
+        if not alt.regex:
             expr = unexpected
+        else:
+            per_structs = []
+            for pat, alts in alt.regex:
+                v_, p_, h_ = _best_of_patterns([alts], v, vdt, w, opts)
+                score = (
+                    h_.cast("long")
+                    + F.when(p_, F.lit(-100000)).otherwise(F.lit(0))
+                )
+                per_structs.append(
+                    F.struct(
+                        F.when(k.rlike(pat), score)
+                        .otherwise(F.lit(NOMATCH).cast("long")).alias("s"),
+                        v_.alias("v"), p_.alias("p"),
+                        h_.cast("int").alias("h"),
+                    )
+                )
+
+            def pick(arr: Column) -> Column:
+                scores = F.transform(arr, lambda x: x["s"])
+                mx = F.array_max(scores)
+                best = F.array_position(scores, mx).cast("int")
+                chosen = F.element_at(arr, best)
+                return F.when(
+                    mx > NOMATCH,
+                    F.struct(chosen["v"].alias("v"), chosen["p"].alias("p"),
+                             chosen["h"].alias("h")),
+                ).otherwise(unexpected)
+
+            expr = bind(F.array(*per_structs), pick)
         skip = F.struct(empty_varr().alias("v"), F.lit(False).alias("p"),
                         F.lit(0).cast("int").alias("h"))
         return F.when(F.array_contains(fixed_arr, k), skip).otherwise(expr)

@@ -47,10 +47,14 @@ def punct_ratio(c: Column) -> Column:
     ).cast("double")
 
 
-def stopword_ratio(c: Column, lang: str = "en") -> Column:
+def stopword_ratio(c: Column, lang: str = "en",
+                   words: Column | None = None) -> Column:
+    """Stopword hits per word. ``words`` lets callers pass an already-bound
+    word count so the split isn't recomputed (quality_score does)."""
+    denom = token_count_ws(c) if words is None else words
     return (
         F.regexp_count(F.lower(c), F.lit(LANG_STOPWORDS[lang]))
-        / F.greatest(token_count_ws(c), F.lit(1))
+        / F.greatest(denom, F.lit(1))
     ).cast("double")
 
 
@@ -64,15 +68,11 @@ def quality_score(c: Column) -> Column:
 
     def body(words: Column) -> Column:
         awl = F.length(F.trim(c)) / F.greatest(words, F.lit(1))
-        stop = (
-            F.regexp_count(F.lower(c), F.lit(EN_STOP_RE))
-            / F.greatest(words, F.lit(1))
-        )
         return (
             ind(words.between(10, 10000))
             + ind(awl.between(3.0, 12.0))
             + ind(punct_ratio(c) < 0.1)
-            + ind(stop > 0.03)
+            + ind(stopword_ratio(c, words=words) > 0.03)
         ).cast("double")
 
     return bind(token_count_ws(c), body)

@@ -85,25 +85,24 @@ def conform_json(
     df: DataFrame,
     json_col: str,
     sch: Schema,
-    keys: list[str] | None = None,
     remove_unexpected: bool = True,
     insert_missing: bool = True,
 ) -> DataFrame:
     """Repair a JSON string column in place: parse -> drop unexpected keys
     (regex-matched keys kept), insert required-key defaults, coerce value
-    types per the JS table -> re-serialize. Output column keeps its name;
-    malformed JSON is replaced by the schema's create() JSON. One
-    projection, JVM-side (`from_json`/`map_*`/`to_json`)."""
+    types per the JS table -> re-serialize. The output column keeps its
+    name AND position; malformed JSON is replaced by the schema's create()
+    JSON. One projection, JVM-side (`from_json`/`map_*`/`to_json`)."""
     import json as _json
 
+    from schisma_spark import typeatoms as ta
     from schisma_spark.conform import Conformer
-    from schisma_spark.create import create_value
-    from schisma_spark.dsl import _UNSET
+    from schisma_spark.create import create_value, js_string
+    from schisma_spark.dsl import AtomAlt, _UNSET
 
     alt = sch.root.alts[0]
     if not isinstance(alt, ObjectAlt):
         raise TypeError("json schema root must be an object")
-    keys = list(keys or [])
     col = F.col(json_col)
     m = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
     conf = Conformer(remove_unexpected, insert_missing, False, False, False)
@@ -113,20 +112,24 @@ def conform_json(
     )
     repaired, _ = conf._within_map(forced, m, T.MapType(T.StringType(),
                                                         T.StringType()))
-    # value coercion: castable fixed keys re-written via try_cast + default
+    # value coercion for fixed keys: try every atom ALTERNATIVE in order
+    # (union fields keep values any alternative accepts) before defaulting
     entries = repaired
     for k, child in forced.fields.items():
-        tgt = child.alts[0] if child.alts else None
-        from schisma_spark.dsl import AtomAlt
-        from schisma_spark import typeatoms as ta
-
-        if not isinstance(tgt, AtomAlt) or tgt.atom in (ta.STRING, ta.NULL):
+        atoms = [a.atom for a in child.alts
+                 if isinstance(a, AtomAlt) and a.atom is not ta.NULL]
+        if not atoms or all(a is ta.STRING for a in atoms):
             continue
         dflt = create_value(child, _UNSET)
         cur = F.element_at(entries, F.lit(k))
+        candidates = [
+            cur.try_cast(a.spark_type).cast("string")
+            if a is not ta.STRING else cur
+            for a in atoms
+        ]
         fixed_val = F.coalesce(
-            cur.try_cast(tgt.atom.spark_type).cast("string"),
-            F.lit(None if dflt is None else str(dflt)),
+            *candidates,
+            F.lit(None if dflt is None else js_string(dflt)),
         )
         cleaned = F.map_filter(entries, lambda k2, _v: k2 != F.lit(k))
         entries = F.when(
@@ -144,5 +147,6 @@ def conform_json(
         .otherwise(F.to_json(entries))
         .alias(json_col)
     )
-    others = [c for c in df.columns if c != json_col]
-    return df.select(*others, out)
+    return df.select(
+        *[out if c == json_col else F.col(c) for c in df.columns]
+    )

@@ -39,10 +39,10 @@ def read_table(spark: SparkSession, ref: str, fmt: str = "auto",
         return spark.read.format("iceberg").load(ref)
     if fmt == "jsonl":
         r = spark.read
-        return (r.schema(schema) if schema else r).json(ref)
+        return (r.schema(schema) if schema is not None else r).json(ref)
     if fmt == "csv":
         r = spark.read.option("header", "true")
-        return (r.schema(schema) if schema else
+        return (r.schema(schema) if schema is not None else
                 r.option("inferSchema", "true")).csv(ref)
     if fmt == "auto" and "/" not in ref:
         if _has_iceberg(spark):

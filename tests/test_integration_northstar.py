@@ -58,9 +58,11 @@ def test_full_pipeline(spark, world):
     assert ("missing key", "image_id") in codes          # nulls
     assert ("invalid", "w") in codes                     # range check
     assert ("invalid", "fmt") in codes                   # domain check
-    assert ("invalid", "image_id") in codes or True      # rlike/unique
     assert any(c == "no match" and w == "fmt" for c, w in codes)  # referential
-    assert any(c == "invalid" and w == "image_id" for c, w in codes)  # dup
+    # duplicated ids surface as uniqueness violations on image_id
+    assert any(c == "invalid" and w == "image_id" for c, w in codes)
+    # ... and the hot phash as uniqueness violations on phash
+    assert any(c == "invalid" and w == "phash" for c, w in codes)
 
     # clean partition 3 has no row-level violations
     verd = {r["part"]: r["verdict"] for r in run.verdicts(imgs).collect()}

@@ -62,13 +62,13 @@ def test_conform_json_roundtrip(spark):
         ]
     )
     sch = schema({"k": Field(type=float, default=-1.0), "name": str})
-    out = {r["id"]: r["p"] for r in conform_json(df, "p", sch, keys=["id"]).collect()}
+    out = {r["id"]: r["p"] for r in conform_json(df, "p", sch).collect()}
     assert json.loads(out[1]) == {"k": "5.0", "name": "a"}  # junk dropped, k coerced
     assert json.loads(out[2]) == {"k": "-1.0", "name": "b"}  # default inserted
     assert json.loads(out[3]) == {"k": -1.0, "name": ""}     # malformed -> create()
     assert out[4] is None
 
     # conformed payloads validate cleanly
-    fixed = conform_json(df.where("id < 3"), "p", sch, keys=["id"])
+    fixed = conform_json(df.where("id < 3"), "p", sch)
     res = validate_json(fixed, "p", sch, keys=["id"])
     assert res.violations.count() == 0
