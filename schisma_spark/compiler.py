@@ -298,6 +298,26 @@ def _check_array(alt: ArrayAlt, idx, c: Column, dtype: T.DataType,
     ed = dtype.elementType
     m = len(alt.elems)
 
+    if m == 0:
+        # schema literal []: no element types, length-insensitive
+        # (schisma.mjs:31-33) — except every index is "long" when
+        # ignoreLongArrays=False (schema length is 0)
+        if opts.ignore_long_arrays:
+            return _const(empty_varr(), EXACT_MATCH, 2)
+        uk = F.transform(
+            c,
+            lambda _x, i: viol(
+                UNEXPECTED_KEY,
+                where=F.concat_ws(".", where, i.cast("string")),
+            ),
+        )
+        any_long = F.size(c) > 0
+        return CheckRes(
+            uk,
+            F.when(any_long, F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH)),
+            F.when(any_long, -F.size(c)).otherwise(F.lit(2)).cast("int"),
+        )
+
     def elem_res(x: Column, i: Column) -> Column:
         w = F.concat_ws(".", where, i.cast("string"))
         if not opts.ignore_long_arrays:

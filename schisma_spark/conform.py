@@ -278,6 +278,10 @@ class Conformer:
                       dtype: T.ArrayType):
         ed = dtype.elementType
         m = len(alt.elems)
+        if m == 0:
+            # schema literal [] constrains nothing about elements
+            # (schisma.mjs:31-33: length-insensitive, no element types)
+            return c, dtype
         out = F.transform(c, lambda x: self._conform_element(alt.elems, x, ed))
         if self.shrink_arrays:
             out = F.when(F.size(out) > m, F.slice(out, 1, m)).otherwise(out)
