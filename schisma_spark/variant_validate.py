@@ -1,0 +1,330 @@
+"""Variant validation: the reference's DYNAMIC typing semantics, exact.
+
+The relational engine (compiler.py) folds types into column dtypes, which
+collapses JS ``undefined`` vs ``null`` and forbids heterogeneous values.
+Spark 4's VariantType removes both limits for semi-structured payloads:
+
+- ``try_variant_get(v, '$.k', 'variant')`` is NULL only when the key is
+  ABSENT (JS undefined -> MISSING_KEY), while a JSON null arrives as a
+  variant of type VOID (JS null -> matches the Null schema type) — the
+  exact distinction of schisma.mjs:306-310 vs :599-600
+- ``schema_of_variant`` is a per-row runtime ``typeof`` (schisma.mjs:337),
+  so union alternatives resolve per VALUE, and arrays may hold mixed types
+  (test/automated.mjs:40-77) — things a static column type cannot express
+
+Everything is built-in expressions (parse_json / try_variant_get /
+schema_of_variant / transform); no Python runs per row.
+
+v1 scope: atoms (number/bigint/string/boolean/null), unions, fixed-key
+objects nested to any depth (unexpected-key detection included), arrays of
+union elements, ``$validate`` via typed extraction. Regex keys over
+variants are validated for presence/unexpectedness only (use
+json_validate.py when regex-keyed VALUES need checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from schisma_spark.compiler import (
+    CheckRes,
+    Opts,
+    _const,
+    empty_varr,
+    is_problem,
+    varr,
+    viol,
+)
+from schisma_spark import typeatoms as ta
+from schisma_spark.dsl import ArrayAlt, AtomAlt, Node, ObjectAlt, Schema
+from schisma_spark.functions.portable import bind
+from schisma_spark.result import (
+    EXACT_MATCH,
+    INVALID,
+    MISSING_KEY,
+    NO_MATCH,
+    PARTIAL_MATCH,
+    UNEXPECTED_KEY,
+    VALID,
+)
+from schisma_spark.validate import ValidationResult
+
+_NUMERIC_PREFIXES = ("BIGINT", "DOUBLE", "FLOAT", "DECIMAL", "INT", "SMALLINT",
+                     "TINYINT")
+
+
+def js_typeof_variant(kv: Column) -> Column:
+    """Per-row JS ``typeof`` (+'null'/'array') from a variant value."""
+    st = F.schema_of_variant(kv)
+    cond = F.when(st == "VOID", "null")
+    for p in _NUMERIC_PREFIXES:
+        cond = cond.when(st.startswith(p), "number")
+    return (
+        cond.when(st == "STRING", "string")
+        .when(st == "BOOLEAN", "boolean")
+        .when(st.startswith("OBJECT"), "object")
+        .when(st.startswith("ARRAY"), "array")
+        .otherwise(F.lower(st))
+    )
+
+
+_ATOM_TYPEOF = {
+    id(ta.NUMBER): "number",
+    id(ta.BIGINT): "number",  # JSON has one number kind (typeof 'number')
+    id(ta.STRING): "string",
+    id(ta.BOOLEAN): "boolean",
+    id(ta.NULL): "null",
+}
+
+
+def _extract(kv: Column, atom) -> Column:
+    if atom is ta.NUMBER or atom is ta.BIGINT:
+        return F.try_variant_get(kv, "$", "double")
+    if atom is ta.BOOLEAN:
+        return F.try_variant_get(kv, "$", "boolean")
+    return F.try_variant_get(kv, "$", "string")
+
+
+def _stringify_variant(kv: Column) -> Column:
+    return F.to_json(kv)
+
+
+def check_variant_node(node: Node, kv: Column, where: Column,
+                       opts: Opts) -> CheckRes:
+    """``kv`` is a variant VALUE (non-null; absence handled by the parent,
+    exactly like the reference's object loop at schisma.mjs:306-310)."""
+    if node.validate is not None:
+        # $validate short-circuits (schisma.mjs:141-172); the user fn gets
+        # a typed extraction based on the node's first atom (or the raw
+        # variant when no atom alternative exists)
+        atom = next(
+            (a.atom for a in node.alts if isinstance(a, AtomAlt)), None
+        )
+        res = node.validate(_extract(kv, atom) if atom else kv)
+        extra: dict = {}
+        if isinstance(res, tuple):
+            res, second = res
+            extra = dict(second) if isinstance(second, dict) else {"message": second}
+        ok = F.coalesce(res, F.lit(True))
+        fields = {"where": where, "value": _stringify_variant(kv), **extra}
+        return CheckRes(
+            varr(F.when(~ok, viol(INVALID, **fields))),
+            F.when(ok, F.lit(VALID)).otherwise(F.lit(INVALID)),
+            F.when(ok, F.lit(1)).otherwise(F.lit(-1)).cast("int"),
+        )
+
+    results = [
+        _check_variant_alt(a, i if len(node.alts) > 1 else None, kv, where,
+                           opts)
+        for i, a in enumerate(node.alts)
+    ]
+    if not results:
+        return _const(empty_varr(), VALID, 1)
+    if len(results) == 1:
+        return results[0]
+    h_arr = F.array(*[r.h for r in results])
+    best = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
+    return CheckRes(
+        F.element_at(F.array(*[r.viols for r in results]), best),
+        F.element_at(F.array(*[r.code for r in results]), best),
+        F.array_max(h_arr),
+    )
+
+
+def _check_variant_alt(alt, idx, kv: Column, where: Column,
+                       opts: Opts) -> CheckRes:
+    if isinstance(alt, Node):
+        return check_variant_node(alt, kv, where, opts)
+    if isinstance(alt, AtomAlt):
+        expected = alt.atom.name
+        want = _ATOM_TYPEOF.get(id(alt.atom))
+        if want is None:
+            # binary/timestamp etc. have no JSON carrier: value-level check
+            ok = _extract(kv, alt.atom).isNotNull()
+        else:
+            ok = js_typeof_variant(kv) == want
+            if alt.atom is ta.BIGINT:
+                d = F.try_variant_get(kv, "$", "double")
+                ok = ok & d.isNotNull() & (d == F.floor(d))
+        nm = viol(NO_MATCH, where=where, expected=expected,
+                  received=js_typeof_variant(kv),
+                  value=_stringify_variant(kv), type_index=idx)
+        return CheckRes(
+            varr(F.when(~ok, nm)),
+            F.when(ok, F.lit(EXACT_MATCH)).otherwise(F.lit(NO_MATCH)),
+            F.when(ok, F.lit(2)).otherwise(F.lit(-1)).cast("int"),
+        )
+    if isinstance(alt, ArrayAlt):
+        return _check_variant_array(alt, idx, kv, where, opts)
+    if isinstance(alt, ObjectAlt):
+        return _check_variant_object(alt, idx, kv, where, opts)
+    raise TypeError(f"bad alternative {alt!r}")
+
+
+def _child_struct(r: CheckRes) -> Column:
+    return F.struct(r.viols.alias("v"), is_problem(r.code).alias("p"),
+                    r.h.cast("int").alias("h"))
+
+
+def _check_variant_array(alt: ArrayAlt, idx, kv: Column, where: Column,
+                         opts: Opts) -> CheckRes:
+    arr = F.try_variant_get(kv, "$", "array<variant>")
+    m = len(alt.elems)
+
+    def body(a: Column) -> Column:
+        if m == 0:
+            return F.struct(
+                empty_varr().alias("v"), F.lit(False).alias("p"),
+                F.lit(2).cast("int").alias("h"),
+            )
+
+        def elem_res(x: Column, i: Column) -> Column:
+            w = F.concat_ws(".", where, i.cast("string"))
+            rs = [check_variant_node(s, x, w, opts) for s in alt.elems]
+            if len(rs) == 1:
+                return _child_struct(rs[0])
+            h_arr = F.array(*[r.h for r in rs])
+            b = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
+            return F.struct(
+                F.element_at(F.array(*[r.viols for r in rs]), b).alias("v"),
+                F.element_at(
+                    F.array(*[is_problem(r.code) for r in rs]), b
+                ).alias("p"),
+                F.array_max(h_arr).alias("h"),
+            )
+
+        return bind(
+            F.transform(a, elem_res),
+            lambda es: F.struct(
+                F.flatten(F.transform(es, lambda e: e["v"])).alias("v"),
+                F.exists(es, lambda e: e["p"]).alias("p"),
+                F.aggregate(es, F.lit(0).cast("int"),
+                            lambda acc, e: acc + e["h"]).alias("h"),
+            ),
+        )
+
+    agg = bind(arr, body)
+    nm = viol(NO_MATCH, where=where, expected="array",
+              received=js_typeof_variant(kv),
+              value=_stringify_variant(kv), type_index=idx)
+    return CheckRes(
+        F.when(arr.isNull(), F.array(nm)).otherwise(agg["v"]),
+        F.when(arr.isNull(), F.lit(NO_MATCH))
+        .when(agg["p"], F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH)),
+        F.when(arr.isNull(), F.lit(-1))
+        .otherwise(agg["h"] + F.when(agg["p"], 0).otherwise(2)).cast("int"),
+    )
+
+
+def _check_variant_object(alt: ObjectAlt, idx, kv: Column, where: Column,
+                          opts: Opts) -> CheckRes:
+    contribs: list[Column] = []
+    for k, child in alt.fields.items():
+        ckv = F.try_variant_get(kv, f"$.{k}", "variant")
+        w = F.concat_ws(".", where, F.lit(k))
+        base = check_variant_node(child, ckv, w, opts)
+        # absent key (ckv NULL) = JS undefined -> MISSING_KEY iff required
+        # (schisma.mjs:306-310); JSON null arrives as VOID, handled by the
+        # Null atom (schisma.mjs:599-600)
+        if child.required and not opts.ignore_required:
+            missing = F.struct(
+                F.array(viol(MISSING_KEY, where=w)).alias("v"),
+                F.lit(True).alias("p"), F.lit(-1).cast("int").alias("h"),
+            )
+        else:
+            missing = F.struct(
+                empty_varr().alias("v"), F.lit(False).alias("p"),
+                F.lit(0).cast("int").alias("h"),
+            )
+        contribs.append(
+            F.when(ckv.isNull(), missing).otherwise(_child_struct(base))
+        )
+    # unexpected keys: enumerate runtime keys via to_json; regex-matched
+    # keys are accepted (presence check only in the variant path)
+    keys_arr = F.json_object_keys(F.to_json(kv))
+    fixed = (
+        F.array(*[F.lit(k) for k in alt.fields])
+        if alt.fields else F.array().cast("array<string>")
+    )
+    unk = F.filter(
+        keys_arr,
+        lambda k: ~F.array_contains(fixed, k)
+        & ~functools_reduce_or([k.rlike(p) for p, _ in alt.regex]),
+    )
+    if not opts.ignore_unexpected:
+        contribs.append(
+            F.struct(
+                F.transform(
+                    unk,
+                    lambda k: viol(UNEXPECTED_KEY,
+                                   where=F.concat_ws(".", where, k)),
+                ).alias("v"),
+                (F.size(unk) > 0).alias("p"),
+                (-F.size(unk)).cast("int").alias("h"),
+            )
+        )
+
+    def combine(cs: Column) -> Column:
+        return F.struct(
+            F.flatten(F.transform(cs, lambda c: c["v"])).alias("v"),
+            F.exists(cs, lambda c: c["p"]).alias("p"),
+            F.aggregate(cs, F.lit(0).cast("int"),
+                        lambda acc, c: acc + c["h"]).alias("h"),
+        )
+
+    agg = bind(F.array(*contribs), combine) if contribs else F.struct(
+        empty_varr().alias("v"), F.lit(False).alias("p"),
+        F.lit(0).cast("int").alias("h"),
+    )
+    is_obj = js_typeof_variant(kv) == "object"
+    nm = viol(NO_MATCH, where=where, expected="object",
+              received=js_typeof_variant(kv),
+              value=_stringify_variant(kv), type_index=idx)
+    return CheckRes(
+        F.when(~is_obj, F.array(nm)).otherwise(agg["v"]),
+        F.when(~is_obj, F.lit(NO_MATCH))
+        .when(agg["p"], F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH)),
+        F.when(~is_obj, F.lit(-1))
+        .otherwise(agg["h"] + F.when(agg["p"], 0).otherwise(2)).cast("int"),
+    )
+
+
+def functools_reduce_or(conds: list[Column]) -> Column:
+    out = F.lit(False)
+    for c in conds:
+        out = out | c
+    return out
+
+
+def validate_variant(
+    df: DataFrame,
+    json_col: str,
+    sch: Schema,
+    keys: list[str] | None = None,
+    ignore_unexpected: bool = False,
+    ignore_required: bool = False,
+) -> ValidationResult:
+    """Validate a JSON-string column with full dynamic-typing semantics
+    (undefined != null, heterogeneous arrays, per-row union typeof)."""
+    opts = Opts(ignore_unexpected=ignore_unexpected,
+                ignore_required=ignore_required)
+    keys = list(keys or [])
+    col = F.col(json_col)
+    v = F.try_parse_json(col)
+    alt = sch.root.alts[0]
+    if not isinstance(alt, ObjectAlt):
+        raise TypeError("variant schema root must be an object")
+    res = _check_variant_object(alt, None, v, F.lit(None).cast("string"),
+                                opts)
+    malformed = F.array(
+        viol(INVALID, where=None, expected="json object",
+             received=F.substring(col, 1, 64), message="malformed json")
+    )
+    viols = (
+        F.when(col.isNull(), empty_varr())
+        .when(v.isNull(), malformed)
+        .otherwise(res.viols)
+    )
+    return ValidationResult(df=df, keys=keys, viols_col=viols)
