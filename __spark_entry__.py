@@ -269,6 +269,29 @@ def q_validate_json_events(spark, sf):
                                  F.col("where").alias("loc"))
 
 
+def q_validate_variant_events(spark, sf):
+    """Variant-path validation (variant_validate.py): JS undefined vs null
+    over events.props — a union [float, Null] accepts JSON null and
+    numbers, flags strings, and reports ABSENT keys as missing."""
+    from schisma_spark.variant_validate import validate_variant
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit('{"k": "bad"}'))
+        .when(F.col("event_id") % 11 == 0, F.lit("{}"))
+        .when(F.col("event_id") % 13 == 0, F.lit('{"k": null}'))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    from schisma_spark import Field as _Field
+    from schisma_spark.dsl import Null as _Null
+
+    sch = schema({"k": _Field(typeof=[float, _Null])})
+    res = validate_variant(ev, "payload", sch, keys=["event_id"])
+    return res.violations.select("event_id", "code",
+                                 F.col("where").alias("loc"))
+
+
 def q_quantiles_quantity(spark, sf):
     li = _t(spark, sf, "lineitem")
     p = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
@@ -393,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_grouped": q_stats_grouped,
         "events_daily": q_events_daily,
         "conform_json_events": q_conform_json_events,
+        "validate_variant_events": q_validate_variant_events,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_near_dups": q_minhash_near_dups,
     }
@@ -695,6 +719,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         # conform_json_events: rows-only (JSON key order is engine-specific)
+        "validate_variant_events": """
+            WITH ev AS (
+              SELECT event_id,
+                CASE WHEN event_id % 7 = 0 THEN '{"k": "bad"}'
+                     WHEN event_id % 11 = 0 THEN '{}'
+                     WHEN event_id % 13 = 0 THEN '{"k": null}'
+                     ELSE props END AS p
+              FROM events)
+            -- json_type(p, path) is NULL only for ABSENT keys; a JSON null
+            -- reports 'NULL' (json_extract can't tell the two apart)
+            SELECT event_id, 'missing key' AS code, 'k' AS loc FROM ev
+              WHERE json_type(p, '$.k') IS NULL
+            UNION ALL
+            SELECT event_id, 'no match', 'k' FROM ev
+              WHERE json_type(p, '$.k')
+                    NOT IN ('DOUBLE', 'BIGINT', 'UBIGINT', 'NULL')
+        """,
         # lsh_ann_topk / minhash_near_dups: approximate scale paths —
         # intentionally no oracle (rows-only check)
     }
