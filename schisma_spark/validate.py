@@ -141,6 +141,32 @@ def validate(
     res = check_object_fields(
         alt, getter, list(dtypes), root_where, opts, exempt=set(keys)
     )
+    return _assemble(df, keys, res, filter_non_errors, root_where)
+
+
+def validate_column(
+    df: DataFrame,
+    column: str,
+    sch: Schema,
+    keys: Sequence[str] | None = None,
+    **kw,
+) -> ValidationResult:
+    """Validate ONE column against a (possibly non-object) schema — the
+    analog of the reference's bare-schema entry point
+    (``schisma(Number).validate(5)``, test/automated.mjs). ``where`` paths
+    are rooted at the column name."""
+    from schisma_spark.compiler import checked_value
+
+    opts = Opts(**{k.replace("ignore_", "ignore_"): v for k, v in kw.items()})
+    keys = list(keys or [])
+    dtype = dict(zip(df.schema.fieldNames(),
+                     [f.dataType for f in df.schema.fields]))[column]
+    res = checked_value(sch.root, F.col(column), dtype,
+                        F.lit(column), opts)
+    return _assemble(df, keys, res, True, F.lit(column))
+
+
+def _assemble(df, keys, res, filter_non_errors, root_where):
     viols = res.viols
     if not filter_non_errors:
         # emit the per-row object result itself when it is not a problem
@@ -151,4 +177,4 @@ def validate(
             F.array(viol(res.code, where=root_where)),
         ).otherwise(empty_varr())
         viols = F.concat(viols, ok_row)
-    return ValidationResult(df=df, keys=keys, viols_col=viols)
+    return ValidationResult(df=df, keys=list(keys), viols_col=viols)

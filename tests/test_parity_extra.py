@@ -147,3 +147,26 @@ def test_embedded_schema_composition(spark):
     )
     got = parent.validate(df).violations.collect()
     assert [(g["code"], g["where"]) for g in got] == [("missing key", "child.x")]
+
+
+def test_validate_column_bare_schema(spark):
+    # bare-schema entry (schisma(Number).validate(5), test/automated.mjs):
+    # one column validated against a non-object schema
+    from schisma_spark.validate import validate_column
+
+    df = spark.createDataFrame(
+        [Row(id=1, v=3.0), Row(id=2, v=None)],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("v", T.DoubleType())]),
+    )
+    sch = schema(float)
+    got = validate_column(df, "v", sch, keys=["id"]).violations.collect()
+    # element semantics: null is a VALUE -> NO_MATCH (not missing)
+    assert [(g["id"], g["code"], g["where"]) for g in got] == [
+        (2, "no match", "v")
+    ]
+
+    # array column against a bare array schema
+    df2 = spark.createDataFrame([Row(id=1, a=[1.0, 2.0])])
+    assert validate_column(df2, "a", schema([float]),
+                           keys=["id"]).violations.count() == 0
