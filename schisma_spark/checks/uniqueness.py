@@ -61,13 +61,25 @@ def uniqueness_violations(
     key_cols: Sequence[str],
     keys: Sequence[str] | None = None,
     salt_buckets: int = 64,
+    strategy: str = "auto",  # auto | broadcast | shuffle_hash
 ) -> DataFrame:
     """Schisma-shaped violation rows for duplicated keys: the offending rows
-    are recovered with a (broadcastable) semi-join of the duplicate key set
-    back onto the table."""
+    are recovered by joining the duplicate key set back onto the table.
+
+    ``dups`` is the set of ALL duplicated keys — unbounded in the worst case
+    (a pathologically duplicate-heavy table makes it ~#distinct keys), so the
+    default is ``strategy='auto'``: no hint, AQE picks broadcast at runtime
+    when the built set is actually small and falls back to a shuffled hash
+    join when it isn't (the forced-broadcast failure mode in CLAUDE.md).
+    ``'broadcast'`` / ``'shuffle_hash'`` remain explicit caller knobs, same
+    surface as :func:`fk_violations`."""
     key_cols = list(key_cols)
     dups = duplicate_keys(df, key_cols, salt_buckets=salt_buckets)
-    offending = df.join(F.broadcast(dups), on=key_cols, how="inner")
+    if strategy == "broadcast":
+        dups = F.broadcast(dups)
+    elif strategy == "shuffle_hash":
+        dups = dups.hint("shuffle_hash")
+    offending = df.join(dups, on=key_cols, how="inner")
     ident = list(keys or key_cols)
     where = ".".join(key_cols)
     return offending.select(

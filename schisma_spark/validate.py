@@ -157,13 +157,13 @@ def validate_column(
     are rooted at the column name."""
     from schisma_spark.compiler import checked_value
 
-    opts = Opts(**{k.replace("ignore_", "ignore_"): v for k, v in kw.items()})
+    opts = Opts(**kw)
     keys = list(keys or [])
     dtype = dict(zip(df.schema.fieldNames(),
                      [f.dataType for f in df.schema.fields]))[column]
     res = checked_value(sch.root, F.col(column), dtype,
                         F.lit(column), opts)
-    return _assemble(df, keys, res, True, F.lit(column))
+    return _assemble(df, keys, res, opts.filter_non_errors, F.lit(column))
 
 
 def _assemble(df, keys, res, filter_non_errors, root_where):

@@ -91,3 +91,38 @@ def test_sink_failure_leaves_manifest_unmarked(spark, tmp_path):
     except RuntimeError:
         pass
     assert Manifest(mpath).done_partitions() == set()  # batch will redo
+
+
+def test_uniqueness_no_unconditional_broadcast(spark):
+    # round-2 VERDICT #3 / ADVICE: the dup-key set is unbounded; library
+    # default must not force a broadcast build (CLAUDE.md broadcast rule).
+    from schisma_spark.checks import uniqueness_violations
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+    auto = uniqueness_violations(df, ["k"])
+    opt = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, \
+        "default strategy must not carry an unconditional broadcast hint"
+    # the explicit knob still works
+    forced = uniqueness_violations(df, ["k"], strategy="broadcast")
+    opt2 = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in opt2
+    # results identical either way
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, forced.collect()))
+
+
+def test_validate_column_filter_non_errors_plumbed(spark):
+    # ADVICE low: filter_non_errors=False used to be silently ignored
+    from schisma_spark.validate import validate_column
+
+    df = spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=None)])
+    sch = schema(float)
+    kept = validate_column(df, "v", sch, keys=["id"],
+                           filter_non_errors=False).violations
+    rows = {r["id"]: r["code"] for r in kept.collect()}
+    assert rows[1] in ("exact match", "valid")  # non-error row now emitted
+    assert rows[2] == "no match"  # bare null vs Number (not an object field)
+    dropped = validate_column(df, "v", sch, keys=["id"]).violations
+    assert dropped.count() == 1
