@@ -150,7 +150,7 @@ def is_problem(code: Column) -> Column:
 
 
 def check_node(node: Node, c: Column, dtype: T.DataType, where: Column,
-               opts: Opts, type_index=None) -> CheckRes:
+               opts: Opts, type_index=None, root: bool = False) -> CheckRes:
     """Compile the full check for ``node`` against column expr ``c`` of
     static type ``dtype``. ``where`` is a (possibly NULL at root) string
     Column holding the dot-path of ``c``."""
@@ -160,10 +160,15 @@ def check_node(node: Node, c: Column, dtype: T.DataType, where: Column,
 
     if node.validate is not None:
         # $validate short-circuits type dispatch (schisma.mjs:141-172).
-        # The user fn may return: a bool Column; (bool Column, message); or
+        # The user fn may return: a bool Column; (bool Column, message);
         # (bool Column, dict of violation-field overrides) — the engine twin
-        # of the reference's merged error object (schisma.mjs:153-157).
+        # of the reference's merged error object (schisma.mjs:153-157) — or a
+        # LIST of such specs, the twin of the array-of-sub-results branch
+        # (schisma.mjs:143-152): one violation row per failed sub-result.
         res = node.validate(c)
+        if isinstance(res, list):
+            return _check_validate_list(res, c, dtype, where, type_index,
+                                        root=root)
         extra: dict = {}
         if isinstance(res, tuple):
             res, second = res
@@ -198,10 +203,10 @@ def check_node(node: Node, c: Column, dtype: T.DataType, where: Column,
 
 
 def checked_value(node: Node, c: Column, dtype: T.DataType, where: Column,
-                  opts: Opts) -> CheckRes:
+                  opts: Opts, root: bool = False) -> CheckRes:
     """Check a node against a value position where SQL NULL means the JS
     value ``null`` (array elements, map values) rather than an absent key."""
-    base = check_node(node, c, dtype, where, opts)
+    base = check_node(node, c, dtype, where, opts, root=root)
     if node.accepts_null() or node.validate is not None:
         return base
     nm = viol(
@@ -212,6 +217,51 @@ def checked_value(node: Node, c: Column, dtype: T.DataType, where: Column,
         F.when(c.isNull(), F.array(nm)).otherwise(base.viols),
         F.when(c.isNull(), F.lit(NO_MATCH)).otherwise(base.code),
         F.when(c.isNull(), F.lit(-1)).otherwise(base.h).cast("int"),
+    )
+
+
+def _check_validate_list(specs: list, c: Column, dtype: T.DataType,
+                         where: Column, type_index,
+                         root: bool = False) -> CheckRes:
+    """Array-return ``$validate`` (schisma.mjs:143-152, exercised in the
+    test/class.mjs:38-50 style): the fn returned a list of sub-result specs,
+    each ``ok_col`` or ``(ok_col, message_or_fields)``. Fields may carry a
+    relative ``where`` (string or Column) and a ``code`` (default INVALID).
+
+    Flatten parity (schisma.mjs:113, 117-133, verified against the
+    reference): when the node is the ROOT of the validate call
+    (``root=True``, the carrier-unwrap at schisma.mjs:113) the INVALID
+    carrier is dropped; NESTED, an INVALID carrier row is emitted at the
+    node's path first, then one row per failed sub with ``where`` prefixed
+    by the node path (NULL root paths concat away, like everywhere else). Non-problem subs land in the
+    reference's never-flattened ``results`` list — no rows here either.
+    The reference's raw-value array fallback (schisma.mjs:148-149) crashes
+    its own flatten under default conf, so it has no engine twin."""
+    subs, any_bad = [], F.lit(False)
+    for item in specs:
+        if isinstance(item, tuple):
+            ok_i, second = item
+            extra = dict(second) if isinstance(second, dict) else {"message": second}
+        else:
+            ok_i, extra = item, {}
+        sub_where = extra.pop("where", None)
+        w_i = where if sub_where is None else F.concat_ws(".", where, _s(sub_where))
+        code_i = extra.pop("code", INVALID)
+        ok_i = F.coalesce(ok_i, F.lit(True))
+        subs.append(F.when(~ok_i, viol(code_i, where=w_i, **extra)))
+        any_bad = any_bad | ~ok_i
+    if root:
+        carriers = []
+    else:
+        carriers = [F.when(
+            any_bad & where.isNotNull(),
+            viol(INVALID, where=where, value=stringify(c, dtype),
+                 type_index=type_index),
+        )]
+    return CheckRes(
+        varr(*carriers, *subs),
+        F.when(any_bad, F.lit(INVALID)).otherwise(F.lit(VALID)),
+        F.when(any_bad, F.lit(-1)).otherwise(F.lit(1)).cast("int"),
     )
 
 

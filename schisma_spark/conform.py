@@ -135,6 +135,35 @@ class Conformer:
         ]
         h_arr = F.array(*hs)
         best = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
+        if isinstance(dtype, T.StructType) and all(
+            isinstance(a, ObjectAlt) for _, a in cands
+        ):
+            # widen to the UNION of the alternatives' natural output schemas
+            # so insert_missing applies under object unions too (fields a
+            # branch doesn't produce are null) — the old keep_shape rebuild
+            # silently dropped inserted keys (r1 ADVICE). The reference
+            # crashes on this case (no parity target); this is the engine's
+            # documented relational semantics.
+            outs_odts = [self._within(node, a, c, dtype) for _, a in cands]
+            union: dict[str, T.DataType] = {}
+            for _, odt in outs_odts:
+                for f in odt.fields:
+                    union.setdefault(f.name, f.dataType)
+            target = T.StructType(
+                [T.StructField(n, t) for n, t in union.items()]
+            )
+            aligned = []
+            for out, odt in outs_odts:
+                have = {f.name: f.dataType for f in odt.fields}
+                aligned.append(F.struct(*[
+                    (out.getField(n) if have.get(n) == t
+                     else F.lit(None).cast(t)).alias(n)
+                    for n, t in union.items()
+                ]))
+            expr = aligned[-1]
+            for j in range(len(aligned) - 2, -1, -1):
+                expr = F.when(best == F.lit(j + 1), aligned[j]).otherwise(expr)
+            return self._null_guard(node, c, expr, target), target
         outs = [self._within(node, a, c, dtype, keep_shape=True)[0]
                 for _, a in cands]
         expr = outs[-1]

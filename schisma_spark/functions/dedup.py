@@ -174,11 +174,20 @@ def minhash_near_dups(
     bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard verification on LSH
-    candidates only: ``id_a, id_b, jac``."""
+    candidates only: ``id_a, id_b, jac``.
+
+    Verification joins 32-bit shingle-HASH arrays, not the string shingles
+    (r1 VERDICT #6): Jaccard over the distinct hash sets equals Jaccard over
+    the string sets barring within-document hash32 collisions (~n²/2³³ per
+    doc — negligible), and the candidate-verify shuffle carries 4-byte ints
+    instead of ~20-byte strings per shingle."""
     cands = minhash_candidate_pairs(df, text_col, id_col, shingle_k, n_hashes, bands)
     sh = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), shingle_k),
+                        lambda s: hash32(s))
+        ).alias("sh"),
     )
     return (
         cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

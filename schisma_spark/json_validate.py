@@ -81,6 +81,13 @@ def validate_json(
     return ValidationResult(df=df, keys=keys, viols_col=viols)
 
 
+def _json_scalar(c: Column) -> Column:
+    """JSON text of one typed value, with correct quoting/escaping, via
+    ``to_json(array(v))`` minus the brackets."""
+    s = F.to_json(F.array(c))
+    return s.substr(F.lit(2), F.length(s) - F.lit(2))
+
+
 def conform_json(
     df: DataFrame,
     json_col: str,
@@ -89,15 +96,18 @@ def conform_json(
     insert_missing: bool = True,
 ) -> DataFrame:
     """Repair a JSON string column in place: parse -> drop unexpected keys
-    (regex-matched keys kept), insert required-key defaults, coerce value
-    types per the JS table -> re-serialize. The output column keeps its
-    name AND position; malformed JSON is replaced by the schema's create()
-    JSON. One projection, JVM-side (`from_json`/`map_*`/`to_json`)."""
+    (regex-matched keys kept, original value types preserved via VariantType),
+    insert required-key defaults, coerce fixed-key value types -> re-serialize
+    TYPED: numbers/booleans come back unquoted JSON values, exactly like the
+    malformed->``create()`` path (and like the reference, whose conform yields
+    real JS numbers — schisma.mjs:579-607). Output key order is deterministic:
+    fixed keys in schema order, then kept dynamic keys in input order.
+    The output column keeps its name AND position; malformed JSON is replaced
+    by the schema's create() JSON. One projection, JVM-side."""
     import json as _json
 
     from schisma_spark import typeatoms as ta
-    from schisma_spark.conform import Conformer
-    from schisma_spark.create import create_value, js_string
+    from schisma_spark.create import create_value
     from schisma_spark.dsl import AtomAlt, _UNSET
 
     alt = sch.root.alts[0]
@@ -105,37 +115,69 @@ def conform_json(
         raise TypeError("json schema root must be an object")
     col = F.col(json_col)
     m = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
-    conf = Conformer(remove_unexpected, insert_missing, False, False, False)
-    forced = ObjectAlt(
-        fields={k: _force_castable(v) for k, v in alt.fields.items()},
-        regex=alt.regex,
-    )
-    repaired, _ = conf._within_map(forced, m, T.MapType(T.StringType(),
-                                                        T.StringType()))
-    # value coercion for fixed keys: try every atom ALTERNATIVE in order
-    # (union fields keep values any alternative accepts) before defaulting
-    entries = repaired
-    for k, child in forced.fields.items():
+    mv = F.from_json(col, "map<string,variant>")  # type-preserving twin
+
+    frags: list[Column] = []
+    for k, child in alt.fields.items():
+        cur = F.element_at(m, F.lit(k))
+        key_lit = _json.dumps(k) + ":"
         atoms = [a.atom for a in child.alts
                  if isinstance(a, AtomAlt) and a.atom is not ta.NULL]
-        if not atoms or all(a is ta.STRING for a in atoms):
-            continue
         dflt = create_value(child, _UNSET)
-        cur = F.element_at(entries, F.lit(k))
-        candidates = [
-            cur.try_cast(a.spark_type).cast("string")
-            if a is not ta.STRING else cur
-            for a in atoms
-        ]
-        fixed_val = F.coalesce(
-            *candidates,
-            F.lit(None if dflt is None else js_string(dflt)),
+        dflt_frag = (
+            F.lit(key_lit + _json.dumps(dflt, separators=(",", ":")))
+            if (child.required and insert_missing) else F.lit(None).cast("string")
         )
-        cleaned = F.map_filter(entries, lambda k2, _v: k2 != F.lit(k))
-        entries = F.when(
-            cur.isNotNull(),
-            F.map_concat(cleaned, F.create_map(F.lit(k), fixed_val)),
-        ).otherwise(entries)
+        if atoms:
+            # try every atom alternative in order (union fields keep values
+            # any alternative accepts), rendering TYPED; none accepts ->
+            # default (Number('abc') -> NaN -> default, schisma.mjs:579-584)
+            cands = []
+            for a in atoms:
+                if a is ta.STRING:
+                    cands.append(F.concat(F.lit(key_lit), _json_scalar(cur)))
+                else:
+                    cv = cur.try_cast(a.spark_type)
+                    cands.append(F.when(cv.isNotNull(),
+                                        F.concat(F.lit(key_lit),
+                                                 _json_scalar(cv))))
+            present = F.coalesce(
+                *cands,
+                F.lit(key_lit + _json.dumps(dflt, separators=(",", ":")))
+                if dflt is not None else F.lit(None).cast("string"),
+            )
+        else:
+            # object/array/composite child: embed the original value's JSON
+            # untouched (variant round-trip; fixes the old re-quote of
+            # nested objects through map<string,string>)
+            one = F.to_json(F.map_filter(mv, lambda k2, _v: k2 == F.lit(k)))
+            present = F.when(
+                F.length(one) > 2,
+                one.substr(F.lit(2), F.length(one) - F.lit(2)),
+            )
+        frags.append(F.when(cur.isNotNull(), present).otherwise(dflt_frag))
+
+    # dynamic keys: keep regex-matched (or everything when
+    # remove_unexpected=False), values type-preserved through variant
+    fixed_keys = list(alt.fields)
+    pats = [p for p, _ in alt.regex]
+
+    def _dyn_keep(k2: Column, _v: Column) -> Column:
+        cond = ~k2.isin(*fixed_keys) if fixed_keys else F.lit(True)
+        if remove_unexpected:
+            pat_ok = F.lit(False)
+            for p in pats:
+                pat_ok = pat_ok | k2.rlike(p)
+            cond = cond & pat_ok
+        return cond
+
+    dyn = F.to_json(F.map_filter(mv, _dyn_keep))
+    frags.append(F.when(F.length(dyn) > 2,
+                        dyn.substr(F.lit(2), F.length(dyn) - F.lit(2))))
+
+    body = F.array_join(
+        F.filter(F.array(*frags), lambda x: x.isNotNull()), ","
+    )
     default_json = _json.dumps(
         {k: create_value(v, _UNSET) for k, v in alt.fields.items()
          if v.required},
@@ -144,7 +186,7 @@ def conform_json(
     out = (
         F.when(col.isNull(), F.lit(None).cast("string"))
         .when(m.isNull(), F.lit(default_json))  # malformed -> create()
-        .otherwise(F.to_json(entries))
+        .otherwise(F.concat(F.lit("{"), body, F.lit("}")))
         .alias(json_col)
     )
     return df.select(

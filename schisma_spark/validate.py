@@ -162,7 +162,7 @@ def validate_column(
     dtype = dict(zip(df.schema.fieldNames(),
                      [f.dataType for f in df.schema.fields]))[column]
     res = checked_value(sch.root, F.col(column), dtype,
-                        F.lit(column), opts)
+                        F.lit(column), opts, root=True)
     return _assemble(df, keys, res, opts.filter_non_errors, F.lit(column))
 
 

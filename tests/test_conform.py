@@ -142,3 +142,30 @@ def test_conform_optional_null_stays(spark):
     assert sch.conform(df).collect()[0]["v"] is None
     sch2 = schema({"v": Field(type=float, required=True, default=1.0)})
     assert sch2.conform(df).collect()[0]["v"] == 1.0
+
+
+def test_union_object_insert_missing(spark):
+    """ADVICE r1: insert_missing must apply under $typeof object unions —
+    the winning branch's missing required keys get their defaults; fields
+    only other branches produce come back null (widened union schema).
+    The reference crashes on this input, so the relational semantics are
+    the engine's own, documented here."""
+    df = spark.createDataFrame(
+        [Row(id=1, u=Row(a=1.0, c=2.0)), Row(id=2, u=Row(a=3.0, c=None))],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("u", T.StructType([
+                T.StructField("a", T.DoubleType()),
+                T.StructField("c", T.DoubleType()),
+            ])),
+        ]),
+    )
+    sch = schema({"u": Field(typeof=[
+        {"a": float, "b": Field(type=float, default=9.0)},
+        {"a": float, "c": Field(type=float, default=7.0)},
+    ])})
+    out = {r["id"]: r["u"] for r in sch.conform(df, keys=["id"]).collect()}
+    # both rows resolve to the {a, c} branch (c is a declared key there);
+    # row 2's null required c gets its default — previously silently dropped
+    assert out[1].asDict() == {"a": 1.0, "b": None, "c": 2.0}
+    assert out[2].asDict() == {"a": 3.0, "b": None, "c": 7.0}

@@ -170,3 +170,57 @@ def test_validate_column_bare_schema(spark):
     df2 = spark.createDataFrame([Row(id=1, a=[1.0, 2.0])])
     assert validate_column(df2, "a", schema([float]),
                            keys=["id"]).violations.count() == 0
+
+
+def test_validate_array_of_subresults_nested(spark):
+    """$validate returning a list of sub-results (schisma.mjs:143-152),
+    golden-matched against the reference run (test/class.mjs:38-50 pattern):
+    nested node emits an INVALID carrier at its path plus one prefixed row
+    per failed sub-result."""
+    df = spark.createDataFrame([
+        Row(id=1, k=Row(a=99, b=-1)),
+        Row(id=2, k=Row(a=100, b=5)),
+    ])
+    sch = schema({
+        "k": Field(
+            typeof=[{"a": int, "b": int}],
+            validate=lambda c: [
+                (c["a"] == 100, {"where": "a", "message": "a must be 100"}),
+                (c["b"] >= 0, {"where": "b", "message": "b negative"}),
+            ],
+        )
+    })
+    rows = sch.validate(df, keys=["id"]).violations.orderBy("id", "where").collect()
+    got = [(r["id"], r["code"], r["where"], r["message"]) for r in rows]
+    # reference golden (verified by running /root/reference/src/schisma.mjs):
+    # carrier at k + subs at k.a / k.b; valid row 2 emits nothing
+    assert got == [
+        (1, "invalid", "k", None),
+        (1, "invalid", "k.a", "a must be 100"),
+        (1, "invalid", "k.b", "b negative"),
+    ]
+    carrier = [r for r in rows if r["where"] == "k"][0]
+    assert carrier["value"] == '{"a":99,"b":-1}'
+
+
+def test_validate_array_of_subresults_root(spark):
+    """Root-level array $validate: the carrier is unwrapped (schisma.mjs:113)
+    — only sub rows, with UNprefixed where."""
+    from schisma_spark.validate import validate_column
+
+    df = spark.createDataFrame([Row(id=1, v=3), Row(id=2, v=9)])
+    sch = schema(Field(
+        type=int,
+        validate=lambda c: [
+            (c > 5, {"where": "a", "message": "too small"}),
+            (c % 2 == 0, {"where": "b", "message": "odd"}),
+        ],
+    ))
+    rows = validate_column(df, "v", sch, keys=["id"]).violations \
+        .orderBy("id", "where").collect()
+    got = [(r["id"], r["code"], r["where"], r["message"]) for r in rows]
+    assert got == [
+        (1, "invalid", "v.a", "too small"),
+        (1, "invalid", "v.b", "odd"),
+        (2, "invalid", "v.b", "odd"),
+    ]

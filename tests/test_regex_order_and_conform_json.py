@@ -63,8 +63,10 @@ def test_conform_json_roundtrip(spark):
     )
     sch = schema({"k": Field(type=float, default=-1.0), "name": str})
     out = {r["id"]: r["p"] for r in conform_json(df, "p", sch).collect()}
-    assert json.loads(out[1]) == {"k": "5.0", "name": "a"}  # junk dropped, k coerced
-    assert json.loads(out[2]) == {"k": "-1.0", "name": "b"}  # default inserted
+    assert json.loads(out[1]) == {"k": 5.0, "name": "a"}   # junk dropped, k
+    assert json.loads(out[2]) == {"k": -1.0, "name": "b"}  # coerced TYPED;
+    # default inserted typed too (ADVICE r1: repaired rows no longer flip
+    # scalar types to strings)
     assert json.loads(out[3]) == {"k": -1.0, "name": ""}     # malformed -> create()
     assert out[4] is None
 
