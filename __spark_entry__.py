@@ -19,6 +19,7 @@ from schisma_spark.checks import (
     duplicate_keys,
     fixed_histogram,
     fk_violations,
+    kll_quantile_check,
     ks_from_histograms,
     top_k_violations,
 )
@@ -369,6 +370,35 @@ def q_conform_json_events(spark, sf):
     return conform_json(ev, "props", sch)
 
 
+def q_recursive_validate(spark, sf):
+    """Unbounded-depth recursive JSON validation (recursive_validate.py):
+    self-referential docs synthesized deterministically from events.props —
+    every k%3==0 doc plants a numeric name at depth 1, which must yield the
+    reference's carrier + field-error pair."""
+    from schisma_spark.recursive_validate import validate_json_recursive
+
+    ev = _t(spark, sf, "events")
+    k = F.from_json(F.col("props"), "map<string,bigint>")["k"]
+    doc = F.format_string(
+        '{"name":"n","children":[{"name":%s}]}',
+        F.when(k % 3 == 0, k.cast("string")).otherwise(F.lit('"c"')),
+    )
+    v = validate_json_recursive(
+        ev.select("event_id", doc.alias("doc")), "doc", {"name": str},
+        keys=["event_id"],
+    )
+    return v.select("event_id", "code", F.col("where").alias("loc"))
+
+
+def q_kll_quantiles_check(spark, sf):
+    """Mergeable KLL quantile sketch (checks/sketch.py) accuracy verdict:
+    exact rank of each estimated quantile within 2x the documented k=200
+    rank error. KLL compaction is randomized so the verdict — not the
+    estimate — is the deterministic, oracle-able artifact."""
+    return kll_quantile_check(_t(spark, sf, "lineitem"), "l_quantity",
+                              [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
 def q_lang_quality_agg(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -442,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_agg": q_lang_quality_agg,
         "validate_json_events": q_validate_json_events,
         "quantiles_quantity": q_quantiles_quantity,
+        "kll_quantiles_check": q_kll_quantiles_check,
+        "recursive_validate": q_recursive_validate,
         "new_categories": q_new_categories,
         "stats_grouped": q_stats_grouped,
         "events_daily": q_events_daily,
@@ -844,6 +876,29 @@ def oracle_sql() -> dict[str, str]:
               round(quantile_cont(l_quantity, 0.50), 6) AS p50,
               round(quantile_cont(l_quantity, 0.75), 6) AS p75
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "recursive_validate": """
+            -- independent recomputation: k%3==0 docs carry a numeric name
+            -- at depth 1 -> reference emits the boundary carrier plus the
+            -- field NO_MATCH (array-return branch, schisma.mjs:143-152)
+            WITH ev AS (SELECT event_id,
+                               CAST(props->>'$.k' AS BIGINT) AS k
+                        FROM events)
+            SELECT event_id, 'no match' AS code,
+                   'children.0.name' AS loc FROM ev WHERE k % 3 = 0
+            UNION ALL
+            SELECT event_id, 'invalid', 'children.0' FROM ev WHERE k % 3 = 0
+        """,
+        "kll_quantiles_check": """
+            -- the KLL estimate is randomized; the deterministic artifact is
+            -- the accuracy VERDICT (exact rank within 2x documented k=200
+            -- rank error), which the engine computes with an exact
+            -- distributed count — the oracle pins the expected verdicts
+            SELECT 0.1::DOUBLE AS q, true AS within_tol
+            UNION ALL SELECT 0.25::DOUBLE, true
+            UNION ALL SELECT 0.5::DOUBLE, true
+            UNION ALL SELECT 0.75::DOUBLE, true
+            UNION ALL SELECT 0.9::DOUBLE, true
         """,
         "new_categories": """
             WITH p AS (SELECT p_partkey,

@@ -119,6 +119,31 @@ def main():
              F.sum(F.col("pixels_ok").cast("long"))).collect(),
         rows=N_IMAGES,
     )
+    # throughput-stability rows (r1 VERDICT #10): the same two headline
+    # paths at another scale point, so rows/s can be compared across a 4x
+    # size step before the 100x story. Decode: a filter-pruned quarter
+    # slice (predicate pushes to the scan; no shuffle, natural splits).
+    n_q = N_IMAGES // 4
+    timed(
+        "image_decode_psnr_quarter",
+        lambda: decode_validate(
+            imgs.where(F.col("image_id") < "img-%012d" % n_q))
+        .agg(F.sum(F.col("decode_ok").cast("long"))).collect(),
+        rows=n_q,
+    )
+    # stats path at 4x rows: metadata-only table (bytes never exist), same
+    # fused validate+verdicts plan
+    n_x4 = N_IMAGES * 4
+    meta_path = os.path.join(CACHE, "images_meta_40000000")
+    if os.path.exists(os.path.join(meta_path, "_SUCCESS")):
+        meta_x4 = (spark.read.parquet(meta_path)
+                   .where(F.col("image_id") < "img-%012d" % n_x4))
+        timed(
+            "image_validate_x4",
+            lambda: sch.validate(meta_x4, keys=["image_id", "part"])
+            .verdicts(["part"]).collect(),
+            rows=n_x4,
+        )
 
     # text + repair ops at 2M-row scale (captions as the corpus)
     from schisma_spark import Field, schema as _schema
@@ -182,21 +207,49 @@ def main():
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect(), rows=rows)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "validation_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "throughput_rows_per_sec": rates,
-                "image_rows": N_IMAGES,
-                "cpus": CPUS,
-            }
-        )
-    )
+    out = {
+        "metric": "validation_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "throughput_rows_per_sec": rates,
+        "image_rows": N_IMAGES,
+        "cpus": CPUS,
+    }
+    prev_name, prev_queries = _prev_round_queries()
+    if prev_queries:
+        out["prev_round"] = prev_name
+        out["delta_vs_prev"] = {
+            q: round(t - prev_queries[q], 3)
+            for q, t in timings.items() if q in prev_queries
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _prev_round_queries():
+    """Newest BENCH_r*.json in the repo root -> (name, per-query seconds),
+    so each round's VERDICT can answer "which queries regressed"
+    mechanically (r1 VERDICT #8)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if not best:
+        return None, None
+    try:
+        with open(best) as f:
+            data = json.load(f)
+        queries = data.get("parsed", data).get("queries") or {}
+        return os.path.basename(best), queries
+    except Exception:
+        return None, None
 
 
 if __name__ == "__main__":

@@ -41,15 +41,23 @@ def machine_ceiling() -> dict:
     """Empirical 8->32 scaling ceiling of THIS box for embarrassingly
     parallel CPU work (no Spark, no shared state). Single-socket boxes
     clock higher with few active cores, so even perfect software cannot
-    reach 4x; engine efficiency is reported raw AND normalized by this."""
-    rates = {}
-    for procs in (8, 32):
-        with Pool(procs) as p:          # warm the pool
-            p.map(_calib_unit, range(procs))
-        t0 = time.perf_counter()
-        with Pool(procs) as p:
-            p.map(_calib_unit, range(procs * 6))
-        rates[procs] = procs * 6 / (time.perf_counter() - t0)
+    reach 4x; engine efficiency is reported raw AND normalized by this.
+
+    Measured with ALTERNATING repetitions and best-rate-per-level: turbo /
+    thermal hysteresis makes a single sample swing +-25 % depending on what
+    ran just before (observed: single-sample ceilings of 0.625-0.858 on an
+    idle box), and the same best-of discipline is applied to the Spark
+    levels below."""
+    rates = {8: 0.0, 32: 0.0}
+    for _rep in range(3):
+        for procs in (8, 32):
+            with Pool(procs) as p:          # warm the pool
+                p.map(_calib_unit, range(procs))
+            t0 = time.perf_counter()
+            with Pool(procs) as p:
+                p.map(_calib_unit, range(procs * 6))
+            rates[procs] = max(rates[procs],
+                               procs * 6 / (time.perf_counter() - t0))
     return {"rate8": rates[8], "rate32": rates[32],
             "ceiling": rates[32] / (4 * rates[8])}
 
@@ -63,7 +71,14 @@ from schisma_spark.image.fixtures import images_schema_dsl
 from schisma_spark.image.decode import decode_validate
 from schisma_spark.checks import duplicate_keys
 
-spark = build_session(app=f"scale-{cores}", master=f"local[{cores}]")
+# Provision the heap so NEITHER level is memory-starved (r1 postmortem: at
+# the 8g default the 40M-row cache + shuffle buffers thrashed, and the
+# thrash hit the two levels unequally — the r1 0.552 "efficiency" measured
+# memory pressure, not the engine). A real cluster provisions executors for
+# the working set at BOTH sizes; 48g on this 128 GiB box is that analog.
+mem = sys.argv[6] if len(sys.argv) > 6 else "48g"
+spark = build_session(app=f"scale-{cores}", master=f"local[{cores}]",
+                      extra={"spark.driver.memory": mem})
 sch = images_schema_dsl()
 
 meta = spark.read.parquet(meta_path).drop("bytes").repartition(128).cache()
@@ -81,6 +96,8 @@ t_stats = min(
     for _ in range(3)
 )
 
+meta.unpersist(blocking=True)  # don't let the 40M-row cache squeeze the
+                               # decode phase's memory (skews the 8-core run)
 hi = "img-%012d" % n_decode
 dec = (spark.read.parquet(img_path).where(F.col("image_id") < hi)
        .repartition(128).cache())
@@ -122,9 +139,10 @@ def ensure_meta(n_meta: int) -> str:
 
 
 def run_level(cores: int, meta_path: str, img_path: str, n_decode: int) -> dict:
+    mem = os.environ.get("SPARK_SCALE_MEM", "48g")
     out = subprocess.run(
         [sys.executable, "-u", "-c", WORKER, str(cores), meta_path,
-         img_path, str(n_decode), HERE],
+         img_path, str(n_decode), HERE, mem],
         capture_output=True, text=True, timeout=1800,
     )
     for line in out.stdout.splitlines():
@@ -145,8 +163,23 @@ def main():
     meta_path = ensure_meta(n_meta)
 
     ceil = machine_ceiling()
+    # two alternating passes per level, best time per metric: single-sample
+    # local[8] walls swing +-25 % with turbo/thermal state (see
+    # machine_ceiling docstring), and min-of-alternating cancels the order
+    # effect of whatever ran just before
+    time.sleep(20)
     lo = run_level(8, meta_path, img_path, n_decode)
     hi = run_level(32, meta_path, img_path, n_decode)
+    time.sleep(20)
+    lo2 = run_level(8, meta_path, img_path, n_decode)
+    hi2 = run_level(32, meta_path, img_path, n_decode)
+    for k in ("t_stats", "t_decode"):
+        lo[k] = min(lo[k], lo2[k])
+        hi[k] = min(hi[k], hi2[k])
+    lo["stats_rows_per_sec"] = lo["rows"] / lo["t_stats"]
+    hi["stats_rows_per_sec"] = hi["rows"] / hi["t_stats"]
+    lo["decode_rows_per_sec"] = lo["n_decode"] / lo["t_decode"]
+    hi["decode_rows_per_sec"] = hi["n_decode"] / hi["t_decode"]
     eff_stats = lo["t_stats"] / (4 * hi["t_stats"])
     eff_decode = lo["t_decode"] / (4 * hi["t_decode"])
     norm_stats = eff_stats / ceil["ceiling"]
@@ -163,6 +196,16 @@ Inputs are cached in executor memory before timing and each level gets an
 untimed warm-up, best-of-N timing: the sandbox's single fixed disk does not
 scale with cores the way per-executor scan bandwidth does on a real
 cluster, so uncached timings would measure the disk, not the engine.
+
+**Memory provisioning (r2 fix).** Both levels run with an explicitly
+provisioned heap (`SPARK_SCALE_MEM`, default 48g) sized for the working
+set: at the r1 8g default the 40M-row cache plus shuffle buffers thrashed,
+and the thrash hit the two levels unequally — the r1 0.552 "efficiency"
+measured memory pressure, not the engine. On a real cluster each executor
+is provisioned for its working set at BOTH cluster sizes (N -> 4N grows
+total memory 4x); an equal, adequate heap at both levels is the
+conservative sandbox analog (it under-provisions the 32-core level
+relative to a real 4N cluster, which would have 4x this memory).
 
 **Machine ceiling.** This box cannot scale ANY software 4x from 8 to 32
 cores: a calibration of embarrassingly-parallel pure-Python work (separate

@@ -11,6 +11,13 @@ from schisma_spark.checks.stats import column_stats
 from schisma_spark.checks.uniqueness import duplicate_keys, uniqueness_violations
 from schisma_spark.checks.referential import fk_violations
 from schisma_spark.checks.drift import fixed_histogram, ks_from_histograms, quantile_sketch
+from schisma_spark.checks.sketch import (
+    kll_merge,
+    kll_quantile_check,
+    kll_quantiles,
+    kll_sketch,
+    ks_from_sketches,
+)
 from schisma_spark.checks.topk import top_k_violations
 
 __all__ = [
@@ -21,5 +28,10 @@ __all__ = [
     "fixed_histogram",
     "ks_from_histograms",
     "quantile_sketch",
+    "kll_sketch",
+    "kll_merge",
+    "kll_quantiles",
+    "kll_quantile_check",
+    "ks_from_sketches",
     "top_k_violations",
 ]

@@ -1,0 +1,151 @@
+"""Mergeable KLL quantile sketches for drift at 100-TB scale.
+
+The north_star (BASELINE.json:6) names "per-partition sketch histograms
+(KLL/t-digest) compared KS-style against a baseline". Spark 4.1 exposes the
+Apache DataSketches KLL implementation natively (``kll_sketch_agg_double``
+and friends, backed by the shipped ``datasketches-java`` jar), so the whole
+path stays JVM-side and the sketches are genuinely MERGEABLE aggregation
+state: per-partition sketches union with ``kll_merge_agg_double`` without
+re-reading the data — the property GK/``approx_percentile`` lacks a public
+surface for, and the reason KLL wins at 10^12 rows (fixed ~3 KB state per
+partition at k=200, ~1.65 % normalized rank error, vs re-aggregating raw
+values).
+
+Accuracy contract (DataSketches KLL, k=200 default): single-sided
+normalized rank error ~1.65 % at 99 % confidence. ``kll_quantile_check``
+turns that into a verifiable verdict: the EXACT rank of each estimated
+quantile (one distributed count) must sit within ``tol`` of the requested
+rank. KLL compaction is randomized, so the estimates themselves are not
+run-stable — the verdict row is the deterministic, oracle-able artifact.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: DataSketches KLL k=200: ~1.65 % single-sided normalized rank error at
+#: 99 % confidence; 2x margin for the hard verdict so the row is stable.
+KLL_K = 200
+KLL_RANK_ERROR = 0.0165
+KLL_TOL = 2 * KLL_RANK_ERROR
+
+
+def kll_sketch(df: DataFrame, value_col: str,
+               group_by: Sequence[str] | None = None,
+               k: int = KLL_K) -> DataFrame:
+    """One KLL sketch (binary, ~3 KB at k=200) per group: ``group...,
+    sketch``. Partial aggregation is map-side (Catalyst treats the sketch
+    as ordinary mergeable agg state), so only tiny partials shuffle."""
+    group_by = list(group_by or [])
+    agg = F.kll_sketch_agg_double(F.col(value_col), F.lit(k)).alias("sketch")
+    return df.groupBy(*group_by).agg(agg) if group_by else df.agg(agg)
+
+
+def kll_merge(sketches: DataFrame, group_by: Sequence[str] | None = None,
+              sketch_col: str = "sketch") -> DataFrame:
+    """Union previously-built sketches WITHOUT touching the raw data —
+    the resumable-baseline path: per-partition sketches from the manifest
+    merge into one baseline sketch per group."""
+    group_by = list(group_by or [])
+    agg = F.kll_merge_agg_double(F.col(sketch_col)).alias("sketch")
+    return (sketches.groupBy(*group_by).agg(agg)
+            if group_by else sketches.agg(agg))
+
+
+def kll_quantiles(sketches: DataFrame, probs: Sequence[float],
+                  group_by: Sequence[str] | None = None,
+                  sketch_col: str = "sketch") -> DataFrame:
+    """Estimated quantile values from sketches: ``group..., q, value``."""
+    group_by = list(group_by or [])
+    pairs = F.array(*[
+        F.struct(
+            F.lit(float(q)).alias("q"),
+            F.kll_sketch_get_quantile_double(
+                F.col(sketch_col), F.lit(float(q))).alias("value"),
+        )
+        for q in probs
+    ])
+    return (
+        sketches.select(*group_by, F.explode(pairs).alias("_p"))
+        .select(*group_by, F.col("_p.q").alias("q"),
+                F.col("_p.value").alias("value"))
+    )
+
+
+def kll_rank(sketch: Column, value: Column) -> Column:
+    """Estimated normalized rank of ``value`` in ``sketch`` (double in
+    [0, 1])."""
+    return F.kll_sketch_get_rank_double(sketch, value)
+
+
+def kll_quantile_check(df: DataFrame, value_col: str,
+                       probs: Sequence[float],
+                       tol: float = KLL_TOL, k: int = KLL_K) -> DataFrame:
+    """Hard accuracy verdict: for each requested rank q, the EXACT rank of
+    the sketch's estimate (one distributed count per probe, computed from
+    the same data) must satisfy ``|exact_rank - q| <= tol``. Returns
+    ``q, within_tol`` — deterministic although the estimate is randomized,
+    so it is oracle-able (the oracle pins the expected verdicts)."""
+    est = kll_quantiles(kll_sketch(df, value_col, k=k), probs)
+    vals = df.select(F.col(value_col).alias("_v")).where(F.col("_v").isNotNull())
+    n = vals.count()
+    # one tiny broadcast of len(probs) estimates against the table: exact
+    # rank = count(v <= estimate) / n, all probes in a single scan
+    joined = F.broadcast(est).crossJoin(vals)
+    ranks = (
+        joined.groupBy("q")
+        .agg((F.sum((F.col("_v") <= F.col("value")).cast("long"))
+              / F.lit(n)).alias("exact_rank"))
+    )
+    return ranks.select(
+        "q",
+        (F.abs(F.col("exact_rank") - F.col("q")) <= F.lit(tol))
+        .alias("within_tol"),
+    ).orderBy("q")
+
+
+def ks_from_sketches(a: DataFrame, b: DataFrame,
+                     group_by: Sequence[str] | None = None,
+                     sketch_col: str = "sketch",
+                     n_points: int = 64) -> DataFrame:
+    """KS-style statistic between two sketched distributions WITHOUT raw
+    data: evaluate both quantile functions on the same n_points rank grid
+    (the quantile probe is the one KLL accessor whose argument may be a
+    literal — ``kll_sketch_get_rank_double`` requires a foldable value, so
+    rank-at-computed-quantile is not expressible) and estimate
+    ``F_b(Q_a(q))`` by counting grid inversions: the fraction of b's grid
+    values <= a's value at rank q. ``group..., ks``; error bounded by the
+    sketch rank error plus the 1/n_points grid resolution, symmetric in
+    a/b (max of both directions)."""
+    group_by = list(group_by or [])
+    qs = [i / (n_points + 1) for i in range(1, n_points + 1)]
+    a2 = a.select(*group_by, F.col(sketch_col).alias("_ska"))
+    b2 = b.select(*group_by, F.col(sketch_col).alias("_skb"))
+    j = a2.join(b2, on=group_by) if group_by else a2.crossJoin(b2)
+
+    def grid(sk: Column) -> Column:
+        return F.array(*[
+            F.kll_sketch_get_quantile_double(sk, F.lit(q)) for q in qs
+        ])
+
+    def direction(ga: Column, gb: Column) -> Column:
+        # for each grid point i: |q_i - fraction of gb <= ga[i]|
+        return F.array_max(F.array(*[
+            F.abs(
+                F.lit(q)
+                - F.size(F.filter(gb, lambda y: y <= F.element_at(ga, i + 1)))
+                / F.lit(float(len(qs)))
+            )
+            for i, q in enumerate(qs)
+        ]))
+
+    ga, gb = grid(F.col("_ska")), grid(F.col("_skb"))
+    out = j.select(*group_by, ga.alias("_ga"), gb.alias("_gb"))
+    ks = F.greatest(
+        direction(F.col("_ga"), F.col("_gb")),
+        direction(F.col("_gb"), F.col("_ga")),
+    )
+    return out.select(*group_by, ks.alias("ks"))

@@ -65,11 +65,26 @@ class Opts:
 
 @dataclass
 class CheckRes:
-    """Compiled result triple for one node applied to one column expr."""
+    """Compiled result for one node applied to one column expr.
+
+    ``n`` is the violation COUNT as pure integer arithmetic (CASE WHEN +
+    adds), carried alongside the struct-building ``viols`` array: the
+    verdict/stats path aggregates ``n`` only, so it never constructs a
+    violation struct — higher-order ``filter``/``array`` expressions are
+    CodegenFallback and would knock the whole stage out of whole-stage
+    codegen (measured r2: the fused verdicts stage had ZERO codegen spans
+    and scaled at 0.55; counting keeps the stage fully code-generated).
+    ``n`` is None where counting would need the structs anyway (array /
+    map element walks — HOF-bound paths); ``count()`` falls back to
+    ``size(viols)`` there."""
 
     viols: Column  # array<violation>
     code: Column   # string
     h: Column      # int
+    n: Column | None = None  # int violation count, codegen-friendly
+
+    def count(self) -> Column:
+        return self.n if self.n is not None else F.size(self.viols)
 
 
 # ---------------------------------------------------------------------------
@@ -137,8 +152,19 @@ def describe_expected(node: Node) -> str:
     return "|".join(names) if names else "value"
 
 
-def _const(viols: Column, code: str, h: int) -> CheckRes:
-    return CheckRes(viols, F.lit(code), F.lit(h).cast("int"))
+def _const(viols: Column, code: str, h: int,
+           n: Column | None = None) -> CheckRes:
+    return CheckRes(viols, F.lit(code), F.lit(h).cast("int"), n)
+
+
+def _i(x) -> Column:
+    return F.lit(int(x)).cast("int") if not isinstance(x, Column) else x.cast("int")
+
+
+def _bool_n(ok: Column) -> Column:
+    """when(~ok, 1, 0) as int — the codegen-friendly violation count of a
+    single conditional check."""
+    return F.when(~ok, F.lit(1)).otherwise(F.lit(0)).cast("int")
 
 
 def is_problem(code: Column) -> Column:
@@ -183,7 +209,7 @@ def check_node(node: Node, c: Column, dtype: T.DataType, where: Column,
         viols = varr(F.when(~ok, viol(INVALID, **fields)))
         code = F.when(ok, F.lit(VALID)).otherwise(F.lit(INVALID))
         h = F.when(ok, F.lit(1)).otherwise(F.lit(-1)).cast("int")
-        return CheckRes(viols, code, h)
+        return CheckRes(viols, code, h, _bool_n(ok))
 
     results = [
         check_alt(alt, i if len(node.alts) > 1 else type_index, node, c,
@@ -191,7 +217,7 @@ def check_node(node: Node, c: Column, dtype: T.DataType, where: Column,
         for i, alt in enumerate(node.alts)
     ]
     if not results:
-        return _const(empty_varr(), VALID, 1)
+        return _const(empty_varr(), VALID, 1, _i(0))
     if len(results) == 1:
         return results[0]
     # union resolution: first argmax of h (schisma.mjs:357-363)
@@ -199,7 +225,11 @@ def check_node(node: Node, c: Column, dtype: T.DataType, where: Column,
     best = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
     viols = F.element_at(F.array(*[r.viols for r in results]), best)
     code = F.element_at(F.array(*[r.code for r in results]), best)
-    return CheckRes(viols, code, F.array_max(h_arr))
+    n = (
+        F.element_at(F.array(*[r.n for r in results]), best)
+        if all(r.n is not None for r in results) else None
+    )
+    return CheckRes(viols, code, F.array_max(h_arr), n)
 
 
 def checked_value(node: Node, c: Column, dtype: T.DataType, where: Column,
@@ -217,6 +247,8 @@ def checked_value(node: Node, c: Column, dtype: T.DataType, where: Column,
         F.when(c.isNull(), F.array(nm)).otherwise(base.viols),
         F.when(c.isNull(), F.lit(NO_MATCH)).otherwise(base.code),
         F.when(c.isNull(), F.lit(-1)).otherwise(base.h).cast("int"),
+        None if base.n is None else
+        F.when(c.isNull(), F.lit(1)).otherwise(base.n).cast("int"),
     )
 
 
@@ -250,18 +282,25 @@ def _check_validate_list(specs: list, c: Column, dtype: T.DataType,
         ok_i = F.coalesce(ok_i, F.lit(True))
         subs.append(F.when(~ok_i, viol(code_i, where=w_i, **extra)))
         any_bad = any_bad | ~ok_i
+    n = _i(0)
+    for item in specs:
+        ok_i = item[0] if isinstance(item, tuple) else item
+        n = n + _bool_n(F.coalesce(ok_i, F.lit(True)))
     if root:
         carriers = []
     else:
+        carrier_cond = any_bad & where.isNotNull()
         carriers = [F.when(
-            any_bad & where.isNotNull(),
+            carrier_cond,
             viol(INVALID, where=where, value=stringify(c, dtype),
                  type_index=type_index),
         )]
+        n = n + F.when(carrier_cond, F.lit(1)).otherwise(F.lit(0))
     return CheckRes(
         varr(*carriers, *subs),
         F.when(any_bad, F.lit(INVALID)).otherwise(F.lit(VALID)),
         F.when(any_bad, F.lit(-1)).otherwise(F.lit(1)).cast("int"),
+        n.cast("int"),
     )
 
 
@@ -295,11 +334,12 @@ def _check_atom(atom: ta.TypeAtom, idx, node: Node, c: Column,
             varr(F.when(~ok, nm)),
             F.when(ok, F.lit(EXACT_MATCH)).otherwise(F.lit(NO_MATCH)),
             F.when(ok, F.lit(2)).otherwise(F.lit(-1)).cast("int"),
+            _bool_n(ok),
         )
 
     sm = ta.static_match(atom, dtype)
     if sm == "match":
-        return _const(empty_varr(), EXACT_MATCH, 2)
+        return _const(empty_varr(), EXACT_MATCH, 2, _i(0))
 
     # engine extension: Field(castable=True) turns the typeof check into a
     # try_cast conformance check (SURVEY.md §2.A R6 / E4 conformance rate)
@@ -314,6 +354,7 @@ def _check_atom(atom: ta.TypeAtom, idx, node: Node, c: Column,
             varr(F.when(~ok, nm)),
             F.when(ok, F.lit(EXACT_MATCH)).otherwise(F.lit(NO_MATCH)),
             F.when(ok, F.lit(2)).otherwise(F.lit(-1)).cast("int"),
+            _bool_n(ok),
         )
 
     if sm == "integral":
@@ -325,13 +366,14 @@ def _check_atom(atom: ta.TypeAtom, idx, node: Node, c: Column,
             varr(F.when(~ok, nm)),
             F.when(ok, F.lit(EXACT_MATCH)).otherwise(F.lit(NO_MATCH)),
             F.when(ok, F.lit(2)).otherwise(F.lit(-1)).cast("int"),
+            _bool_n(ok),
         )
 
     # static mismatch: every (non-null) value is NO_MATCH
     nm = viol(NO_MATCH, where=where, expected=atom.name,
               received=ta.js_typeof(dtype), value=stringify(c, dtype),
               type_index=idx)
-    return _const(F.array(nm), NO_MATCH, -1)
+    return _const(F.array(nm), NO_MATCH, -1, _i(1))
 
 
 def _check_array(alt: ArrayAlt, idx, c: Column, dtype: T.DataType,
@@ -343,7 +385,7 @@ def _check_array(alt: ArrayAlt, idx, c: Column, dtype: T.DataType,
         nm = viol(NO_MATCH, where=where, expected="array",
                   received=ta.js_typeof(dtype), value=stringify(c, dtype),
                   type_index=idx)
-        return _const(F.array(nm), NO_MATCH, -1)
+        return _const(F.array(nm), NO_MATCH, -1, _i(1))
 
     ed = dtype.elementType
     m = len(alt.elems)
@@ -353,7 +395,7 @@ def _check_array(alt: ArrayAlt, idx, c: Column, dtype: T.DataType,
         # (schisma.mjs:31-33) — except every index is "long" when
         # ignoreLongArrays=False (schema length is 0)
         if opts.ignore_long_arrays:
-            return _const(empty_varr(), EXACT_MATCH, 2)
+            return _const(empty_varr(), EXACT_MATCH, 2, _i(0))
         uk = F.transform(
             c,
             lambda _x, i: viol(
@@ -366,6 +408,7 @@ def _check_array(alt: ArrayAlt, idx, c: Column, dtype: T.DataType,
             uk,
             F.when(any_long, F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH)),
             F.when(any_long, -F.size(c)).otherwise(F.lit(2)).cast("int"),
+            F.size(c).cast("int"),
         )
 
     def elem_res(x: Column, i: Column) -> Column:
@@ -436,18 +479,22 @@ def _child_contrib(child: Node, cc: Column, cdt: T.DataType, w: Column,
     value semantics."""
     if child.accepts_null():
         r = check_node(child, cc, cdt, w, opts)
-        return r.viols, is_problem(r.code), r.h
+        return r.viols, is_problem(r.code), r.h, r.n
     base = check_node(child, cc, cdt, w, opts)
     if child.required and not opts.ignore_required:
         mk = F.array(viol(MISSING_KEY, where=w))
         viols = F.when(cc.isNull(), mk).otherwise(base.viols)
         prob = F.when(cc.isNull(), F.lit(True)).otherwise(is_problem(base.code))
         h = F.when(cc.isNull(), F.lit(-1)).otherwise(base.h).cast("int")
+        n = None if base.n is None else \
+            F.when(cc.isNull(), F.lit(1)).otherwise(base.n).cast("int")
     else:
         viols = F.when(cc.isNull(), empty_varr()).otherwise(base.viols)
         prob = F.when(cc.isNull(), F.lit(False)).otherwise(is_problem(base.code))
         h = F.when(cc.isNull(), F.lit(0)).otherwise(base.h).cast("int")
-    return viols, prob, h
+        n = None if base.n is None else \
+            F.when(cc.isNull(), F.lit(0)).otherwise(base.n).cast("int")
+    return viols, prob, h, n
 
 
 def _best_of_patterns(pattern_alts: list[list[Node]], v: Column,
@@ -468,11 +515,13 @@ def _best_of_patterns(pattern_alts: list[list[Node]], v: Column,
                     F.element_at(F.array(*[r.viols for r in rs]), b),
                     F.element_at(F.array(*[r.code for r in rs]), b),
                     F.array_max(h_arr),
+                    F.element_at(F.array(*[r.n for r in rs]), b)
+                    if all(r.n is not None for r in rs) else None,
                 )
             )
     if len(per_pattern) == 1:
         r = per_pattern[0]
-        return r.viols, is_problem(r.code), r.h
+        return r.viols, is_problem(r.code), r.h, r.n
     # composite score: non-problems rank above all problems, then h
     scores = F.array(
         *[
@@ -483,7 +532,10 @@ def _best_of_patterns(pattern_alts: list[list[Node]], v: Column,
     b = F.array_position(scores, F.array_max(scores)).cast("int")
     viols = F.element_at(F.array(*[r.viols for r in per_pattern]), b)
     code = F.element_at(F.array(*[r.code for r in per_pattern]), b)
-    return viols, is_problem(code), F.element_at(F.array(*[r.h for r in per_pattern]), b)
+    n = (F.element_at(F.array(*[r.n for r in per_pattern]), b)
+         if all(r.n is not None for r in per_pattern) else None)
+    return viols, is_problem(code), \
+        F.element_at(F.array(*[r.h for r in per_pattern]), b), n
 
 
 def check_object_fields(alt: ObjectAlt, getter, present: list[str],
@@ -494,7 +546,7 @@ def check_object_fields(alt: ObjectAlt, getter, present: list[str],
     ``present``. Regex keys resolve at COMPILE time here — the key set of a
     DataFrame / StructType is static, so the reference's runtime regex loop
     (schisma.mjs:256-295) folds into plan construction."""
-    contribs = []  # (viols, prob, h)
+    contribs = []  # (viols, prob, h, n)
     # fixed keys in schema
     for k, child in alt.fields.items():
         if k in present:
@@ -507,7 +559,7 @@ def check_object_fields(alt: ObjectAlt, getter, present: list[str],
                 w = F.concat_ws(".", where, F.lit(k))
                 contribs.append(
                     (F.array(viol(MISSING_KEY, where=w)), F.lit(True),
-                     F.lit(-1).cast("int"))
+                     F.lit(-1).cast("int"), _i(1))
                 )
     # keys present but not fixed: regex match (declaration order) else
     # unexpected (schisma.mjs:256-305)
@@ -522,21 +574,29 @@ def check_object_fields(alt: ObjectAlt, getter, present: list[str],
             contribs.append(_best_of_patterns(pats, cc, cdt, w, opts))
         elif not opts.ignore_unexpected:
             uk = viol(UNEXPECTED_KEY, where=w, received=stringify(cc, cdt))
-            contribs.append((F.array(uk), F.lit(True), F.lit(-1).cast("int")))
+            contribs.append((F.array(uk), F.lit(True), F.lit(-1).cast("int"),
+                             _i(1)))
 
     if not contribs:
-        return _const(empty_varr(), EXACT_MATCH, 2)
-    viols = F.concat(*[v for v, _, _ in contribs]) if len(contribs) > 1 \
+        return _const(empty_varr(), EXACT_MATCH, 2, _i(0))
+    viols = F.concat(*[t[0] for t in contribs]) if len(contribs) > 1 \
         else contribs[0][0]
     any_prob = contribs[0][1]
-    for _, p, _ in contribs[1:]:
-        any_prob = any_prob | p
+    for t in contribs[1:]:
+        any_prob = any_prob | t[1]
     sum_h = contribs[0][2]
-    for _, _, hh in contribs[1:]:
-        sum_h = sum_h + hh
+    for t in contribs[1:]:
+        sum_h = sum_h + t[2]
+    if all(t[3] is not None for t in contribs):
+        sum_n = contribs[0][3]
+        for t in contribs[1:]:
+            sum_n = sum_n + t[3]
+        sum_n = sum_n.cast("int")
+    else:
+        sum_n = None
     code = F.when(any_prob, F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH))
     h = (sum_h + F.when(any_prob, F.lit(0)).otherwise(F.lit(2))).cast("int")
-    return CheckRes(viols, code, h)
+    return CheckRes(viols, code, h, sum_n)
 
 
 def _check_object(alt: ObjectAlt, idx, c: Column, dtype: T.DataType,
@@ -557,13 +617,15 @@ def _check_object(alt: ObjectAlt, idx, c: Column, dtype: T.DataType,
             F.when(c.isNull(), nm).otherwise(res.viols),
             F.when(c.isNull(), F.lit(NO_MATCH)).otherwise(res.code),
             F.when(c.isNull(), F.lit(-1)).otherwise(res.h).cast("int"),
+            None if res.n is None else
+            F.when(c.isNull(), F.lit(1)).otherwise(res.n).cast("int"),
         )
     if isinstance(dtype, T.MapType):
         return _check_map(alt, idx, c, dtype, where, opts)
     nm = viol(NO_MATCH, where=where, expected="object",
               received=ta.js_typeof(dtype), value=stringify(c, dtype),
               type_index=idx)
-    return _const(F.array(nm), NO_MATCH, -1)
+    return _const(F.array(nm), NO_MATCH, -1, _i(1))
 
 
 def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
@@ -610,7 +672,7 @@ def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
         else:
             per_structs = []
             for pat, alts in alt.regex:
-                v_, p_, h_ = _best_of_patterns([alts], v, vdt, w, opts)
+                v_, p_, h_, _n_ = _best_of_patterns([alts], v, vdt, w, opts)
                 score = (
                     h_.cast("long")
                     + F.when(p_, F.lit(-100000)).otherwise(F.lit(0))
@@ -644,15 +706,15 @@ def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
     dyn_viols = F.flatten(F.transform(entries, lambda e: e["v"]))
     dyn_prob = F.exists(entries, lambda e: e["p"])
     dyn_h = F.aggregate(entries, F.lit(0).cast("int"), lambda a, e: a + e["h"])
-    contribs.append((dyn_viols, dyn_prob, dyn_h))
+    contribs.append((dyn_viols, dyn_prob, dyn_h, None))  # HOF path: no n
 
-    viols = F.concat(*[v for v, _, _ in contribs])
+    viols = F.concat(*[t[0] for t in contribs])
     any_prob = contribs[0][1]
-    for _, p, _ in contribs[1:]:
-        any_prob = any_prob | p
+    for t in contribs[1:]:
+        any_prob = any_prob | t[1]
     sum_h = contribs[0][2]
-    for _, _, hh in contribs[1:]:
-        sum_h = sum_h + hh
+    for t in contribs[1:]:
+        sum_h = sum_h + t[2]
     code = F.when(any_prob, F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH))
     h = (sum_h + F.when(any_prob, F.lit(0)).otherwise(F.lit(2))).cast("int")
     nm = F.array(viol(NO_MATCH, where=where, expected="object",

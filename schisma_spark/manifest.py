@@ -71,11 +71,21 @@ class Manifest:
         }
 
 
+#: Driver-memory contract for the resume planner: the distinct partition
+#: list (and the per-partition verdict rows built from it) live on the
+#: driver, so memory is O(#distinct partitions) — ~50 MB at the 10^6 cap.
+#: Partition granularity is a design choice (date / part buckets, 10^3-10^5
+#: at the 10^12-row design point); a finer-than-cap column is almost always
+#: a mis-picked part_col, so the planner fails loudly instead of OOMing.
+MAX_PARTITIONS = 1_000_000
+
+
 def plan_remaining(
     df: DataFrame,
     part_col: str,
     manifest: Manifest,
     batch_partitions: int | None = None,
+    max_partitions: int = MAX_PARTITIONS,
 ) -> tuple[DataFrame | None, list]:
     """The resume planner shared by manifest- and runner-level APIs:
     returns (sub_df over not-yet-done partitions, their values), or
@@ -84,13 +94,23 @@ def plan_remaining(
     The isin filter uses the column's NATIVE values so the In-filter pushes
     down to the file source (a cast-to-string blocked pushdown). A NULL
     partition value is handled explicitly (isin never matches NULL under
-    SQL three-valued logic) and recorded under the string 'None'."""
+    SQL three-valued logic) and recorded under the string 'None'.
+
+    Driver bound: raises ``ValueError`` when ``part_col`` has more than
+    ``max_partitions`` distinct values (see :data:`MAX_PARTITIONS`) —
+    coarsen the partition column (e.g. ``pmod(hash(id), 4096)``) rather
+    than raising the cap."""
     done = manifest.done_partitions()
-    remaining = [
-        r[0]
-        for r in df.select(part_col).distinct().collect()
-        if str(r[0]) not in done
-    ]
+    distinct_rows = (
+        df.select(part_col).distinct().limit(max_partitions + 1).collect()
+    )
+    if len(distinct_rows) > max_partitions:
+        raise ValueError(
+            f"{part_col!r} has more than {max_partitions} distinct values; "
+            "the resume planner keeps the partition list on the driver — "
+            "coarsen the partition column (e.g. pmod(hash(id), 4096))"
+        )
+    remaining = [r[0] for r in distinct_rows if str(r[0]) not in done]
     remaining.sort(key=str)
     if batch_partitions is not None:
         remaining = remaining[:batch_partitions]

@@ -1,0 +1,166 @@
+"""True unbounded-depth recursive validation over JSON documents.
+
+The reference expresses recursion by re-entering ``validate`` from a
+``$validate`` thunk (/root/reference/test/recursiveSchema.mjs:5-35, via the
+array-return branch schisma.mjs:143-152). ``dsl.recursive()`` compiles a
+DEPTH-LIMITED expansion (columns have static types); this module removes
+the limit for JSON payloads: a breadth-first loop over a VARIANT frontier
+validates one nesting level per iteration and stops when the data runs out
+of children — the recursion depth is the DATA's depth, not a compile-time
+constant.
+
+Scale shape: level L's frontier holds every node at depth L across ALL
+documents — one narrow DataFrame (keys, path, variant subtree) — so each
+iteration is a single distributed pass; nothing ever collects to the
+driver and no row recurses in Python. Spark job count = max document depth
+(a dozen-ish for real corpora), not rows.
+
+Violation parity with the reference run (verified by executing the
+reference on a planted-error tree):
+
+- field errors carry full dot paths (``children.0.children.1.name``)
+- every recursion boundary with ANY problem in its subtree emits an
+  INVALID carrier row whose ``value`` is the subtree JSON (the array-return
+  carrier, schisma.mjs:143-152); the root carrier is unwrapped
+  (schisma.mjs:113)
+- benign divergence: the engine fills ``expected`` on type NO_MATCH rows
+  (the reference's class-check path leaves it undefined here)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schisma_spark.compiler import Opts, viol
+from schisma_spark.dsl import Field, schema as make_schema
+from schisma_spark.functions.portable import bind
+from schisma_spark.result import INVALID, VIOLATION_FIELDS
+from schisma_spark.variant_validate import check_variant_node
+
+
+def _boundary_prefixes(where: Column, recurse_field: str) -> Column:
+    """All strict prefixes of ``where`` that end at a recursion boundary
+    (``<recurse_field>.<idx>`` segment pair) — the carrier paths for one
+    violation. Pure array expressions; the segment array is let-bound."""
+
+    def body(s: Column) -> Column:
+        return F.filter(
+            F.transform(
+                s,
+                lambda seg, i: F.when(
+                    seg.rlike("^[0-9]+$")
+                    & (F.get(s, i - 1) == F.lit(recurse_field))
+                    & (i + 1 < F.size(s)),
+                    F.array_join(F.slice(s, 1, i + 1), "."),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    return bind(F.split(where, r"\."), body)
+
+
+def validate_json_recursive(
+    df: DataFrame,
+    json_col: str,
+    fields: dict,
+    keys: list[str],
+    recurse_field: str = "children",
+    ignore_unexpected: bool = False,
+    max_depth: int = 1000,
+) -> DataFrame:
+    """Validate a self-referential JSON document column.
+
+    ``fields`` describes ONE level's non-recursive fields (a schema dict,
+    e.g. ``{"name": str}``); ``recurse_field`` names the optional
+    array-of-self field. Returns flat violation rows
+    (``keys..., code, where, expected, received, value, message,
+    type_index``) for every level of every document, plus the reference's
+    INVALID carrier rows at problem boundaries.
+
+    ``max_depth`` is a runaway guard (a JSON document's depth is bounded by
+    its size, so the loop always terminates; the guard catches documents
+    far beyond the design depth and raises instead of looping on)."""
+    keys = list(keys)
+    opts = Opts(ignore_unexpected=ignore_unexpected)
+    level = make_schema(
+        {**fields, recurse_field: Field(typeof=[[]], required=False)}
+    ).root
+
+    col = F.col(json_col)
+    parsed = F.try_parse_json(col)
+    malformed = df.where(col.isNotNull() & parsed.isNull()).select(
+        *keys,
+        viol(INVALID, where=None, expected="json",
+             received=F.substring(col, 1, 64),
+             message="malformed json").alias("_x"),
+    ).select(*keys, "_x.*")
+
+    frontier = (
+        df.select(*keys, F.lit(None).cast("string").alias("_where"),
+                  parsed.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .persist()
+    )
+    level_viols: list[DataFrame] = [malformed]
+    registry: list[DataFrame] = []  # (keys, _path, _subtree) per non-root node
+    depth = 0
+    while not frontier.isEmpty():
+        if depth > max_depth:
+            raise RuntimeError(
+                f"document depth exceeds max_depth={max_depth}; raise the "
+                "guard if this corpus is genuinely that deep"
+            )
+        res = check_variant_node(level, F.col("_v"), F.col("_where"), opts)
+        level_viols.append(
+            frontier.select(*keys, F.explode(res.viols).alias("_x"))
+            .select(*keys, *[F.col(f"_x.{f}").alias(f)
+                             for f in VIOLATION_FIELDS])
+        )
+        if depth > 0:
+            registry.append(
+                frontier.select(*keys, F.col("_where").alias("_path"),
+                                F.to_json("_v").alias("_subtree"))
+            )
+        arr = F.try_variant_get(F.col("_v"), f"$.{recurse_field}",
+                                "array<variant>")
+        frontier = (
+            frontier.where(arr.isNotNull())
+            .select(*keys, "_where",
+                    F.posexplode(arr).alias("_i", "_cv"))
+            .select(*keys,
+                    F.concat_ws(".", "_where", F.lit(recurse_field),
+                                F.col("_i").cast("string")).alias("_where"),
+                    F.col("_cv").alias("_v"))
+            .persist()
+        )
+        # NB: earlier frontiers stay persisted until the session's context
+        # cleaner reclaims them — the returned violations frame is lazy and
+        # still references every level's lineage
+        depth += 1
+
+    viols = level_viols[0]
+    for v in level_viols[1:]:
+        viols = viols.unionByName(v)
+
+    if registry:
+        reg = registry[0]
+        for r in registry[1:]:
+            reg = reg.unionByName(r)
+        anc = (
+            viols.select(
+                *keys,
+                F.explode(_boundary_prefixes(F.col("where"),
+                                             recurse_field)).alias("_path"),
+            ).distinct()
+        )
+        carriers = (
+            anc.join(reg, on=[*keys, "_path"])
+            .select(*keys,
+                    viol(INVALID, where=F.col("_path"),
+                         value=F.col("_subtree")).alias("_x"))
+            .select(*keys, "_x.*")
+        )
+        viols = viols.unionByName(carriers)
+    return viols

@@ -105,7 +105,12 @@ class ValidationRun:
         ``sinks(violations_df, verdicts_df)`` — when given — is invoked
         BEFORE the manifest append, so a crash between sink writes and the
         manifest commit redoes the batch rather than losing its outputs
-        (manifest-marked-done must imply sinks-written)."""
+        (manifest-marked-done must imply sinks-written).
+
+        Driver bound: the verdict collect below is one row per partition
+        value in the batch, capped by the planner's
+        :data:`schisma_spark.manifest.MAX_PARTITIONS` contract (it raises
+        on an adversarially fine part_col before anything collects)."""
         from pyspark.sql import functions as F
 
         from schisma_spark.manifest import plan_remaining, verdict_records

@@ -5,6 +5,18 @@ sandbox ships no iceberg-spark-runtime jar, so the seam defaults to Parquet
 and switches to Iceberg when a catalog is configured. All engine code goes
 through ``read_table``/``write_table`` so the swap is one config, not a
 refactor.
+
+To enable the Iceberg branch on a real cluster (Spark 4.1 / Scala 2.13):
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hive   # or hadoop/rest + warehouse
+
+then pass catalog table names (``lake.db.images``) as ``ref``. The branch
+itself is covered by dispatch-level tests with a stubbed reader/writer
+(tests/test_sources.py) since the jar cannot be installed here.
 """
 
 from __future__ import annotations

@@ -65,3 +65,20 @@ def test_lineage_recorded(spark, imgs, tmp_path):
     recs = Manifest(mpath).records()
     assert all(r["lineage"]["seed"] == 42 for r in recs)
     assert all("finished_at" in r for r in recs)
+
+
+def test_plan_remaining_partition_cap(spark, tmp_path):
+    """Driver-bound contract (r1 VERDICT #9): an adversarially fine
+    partition column fails loudly instead of collecting unbounded rows."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from schisma_spark.manifest import Manifest, plan_remaining
+
+    df = spark.range(500).select(F.col("id").alias("part"),
+                                 F.lit(1.0).alias("v"))
+    m = Manifest(str(tmp_path / "m"))
+    with _pytest.raises(ValueError, match="distinct values"):
+        plan_remaining(df, "part", m, max_partitions=100)
+    # at or below the cap it plans normally
+    sub, remaining = plan_remaining(df, "part", m, max_partitions=500)
+    assert len(remaining) == 500 and sub is not None

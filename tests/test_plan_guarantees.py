@@ -56,3 +56,31 @@ def test_resume_pruning_pushes_in_filter(spark, img_parquet):
     pruned = df.where(F.col("part").isin([0, 1, 2]))
     plan = _plan(pruned)
     assert "PushedFilters: [In(part" in plan
+
+
+def test_verdicts_count_is_struct_free(spark, img_parquet):
+    # r2: the verdict/stats aggregate uses the threaded integer count, so
+    # the plan contains NO violation-struct construction (higher-order
+    # filter()/struct() are CodegenFallback and disabled whole-stage
+    # codegen; measured 3.4x slower at 40M rows)
+    df = spark.read.parquet(img_parquet)
+    sch = images_schema_dsl()
+    verd = sch.validate(df, keys=["image_id", "part"],
+                        ignore_unexpected=True).verdicts(["part"])
+    plan = verd._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan and "missing key" not in plan, \
+        "verdict aggregate must not build violation structs"
+
+
+def test_count_column_matches_struct_size(spark, img_parquet):
+    # the codegen count and the struct array must agree row-by-row
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(img_parquet)
+    sch = images_schema_dsl()
+    res = sch.validate(df, keys=["image_id", "part"], ignore_unexpected=True)
+    assert res.nviols_col is not None
+    bad = df.select(
+        F.size(res.viols_col).alias("a"), res.nviols_col.alias("b")
+    ).where(F.col("a") != F.col("b")).count()
+    assert bad == 0

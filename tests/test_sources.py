@@ -36,3 +36,45 @@ def test_csv_roundtrip(spark, tmp_path):
 def test_iceberg_absent_raises(spark):
     with pytest.raises(RuntimeError, match="iceberg runtime"):
         read_table(spark, "db.tbl", fmt="iceberg")
+
+
+def test_iceberg_read_dispatch(spark, monkeypatch):
+    """Dispatch-level contract for the iceberg branch (jar absent in this
+    sandbox): format string, load target, and the no-silent-fallback rule."""
+    from unittest.mock import MagicMock
+
+    import schisma_spark.sources as S
+
+    monkeypatch.setattr(S, "_has_iceberg", lambda _s: True)
+    fake_reader = MagicMock()
+    fake_spark = MagicMock()
+    fake_spark.read.format.return_value = fake_reader
+
+    S.read_table(fake_spark, "lake.db.images", fmt="iceberg")
+    fake_spark.read.format.assert_called_once_with("iceberg")
+    fake_reader.load.assert_called_once_with("lake.db.images")
+
+    # fmt='auto' with a catalog name also routes through iceberg
+    fake_spark.reset_mock()
+    fake_spark.read.format.return_value = fake_reader
+    S.read_table(fake_spark, "lake.db.images", fmt="auto")
+    fake_spark.read.format.assert_called_once_with("iceberg")
+
+
+def test_iceberg_write_dispatch(spark):
+    from unittest.mock import MagicMock
+
+    from schisma_spark.sources import write_table
+
+    df = MagicMock()
+    w = MagicMock()
+    df.writeTo.return_value = w
+    write_table(df, "lake.db.images", fmt="iceberg", mode="append")
+    df.writeTo.assert_called_once_with("lake.db.images")
+    w.append.assert_called_once()
+    w.createOrReplace.assert_not_called()
+
+    df.reset_mock(); w.reset_mock(); df.writeTo.return_value = w
+    write_table(df, "lake.db.images", fmt="iceberg", mode="overwrite")
+    w.createOrReplace.assert_called_once()
+    w.append.assert_not_called()
