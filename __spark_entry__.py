@@ -35,7 +35,7 @@ from schisma_spark.functions import (
     minhash_signature,
 )
 from schisma_spark.functions.dedup import minhash_near_dups, simhash
-from schisma_spark.functions.similarity import lsh_ann_topk
+from schisma_spark.functions.similarity import cosine_near_dups, lsh_ann_topk
 from schisma_spark.functions.text import (
     EN_STOP_RE,
     LANG_STOPWORDS,
@@ -444,6 +444,20 @@ def q_lsh_ann_recall(spark, sf):
     )
 
 
+def q_cosine_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs (similarity.cosine_near_dups):
+    hyperplane-LSH bucketed self-join + exact cosine verify, over the
+    embeddings table augmented with planted exact duplicates (vec_id%25
+    copies at +100000). Oracle recomputes buckets from the same md5-derived
+    hyperplane literals."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    aug = emb.unionByName(dups)
+    return cosine_near_dups(aug, "vec_id", "embedding", dim=64,
+                            threshold=0.99, n_tables=8, n_planes=6)
+
+
 def q_minhash_near_dups(spark, sf):
     d = _t(spark, sf, "documents")
     return minhash_near_dups(d, "text", "doc_id", threshold=0.2,
@@ -481,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_variant_events": q_validate_variant_events,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
+        "cosine_near_dups": q_cosine_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
     }
 
@@ -575,9 +590,9 @@ def oracle_sql() -> dict[str, str]:
     # bit-identical to the engine's sequential aggregate() fold.
     import hashlib as _hl
 
-    def _plane_sig(t: int) -> str:
+    def _plane_sig(t: int, n_planes: int = 3) -> str:
         planes = []
-        for pl in range(3):
+        for pl in range(n_planes):
             terms = []
             for i in range(64):
                 c = (int(_hl.md5(f"t{t}:{pl}:{i}".encode()).hexdigest()[:8],
@@ -641,6 +656,37 @@ def oracle_sql() -> dict[str, str]:
         FROM bf LEFT JOIN (SELECT probe_id, neighbor_id FROM lsh_ranked
                            WHERE rank <= 5) l
           ON bf.probe_id = l.probe_id AND bf.neighbor_id = l.neighbor_id
+    """
+
+    # cosine_near_dups twin: same hyperplane construction at 6 planes over
+    # the augmented (planted-duplicate) table; bucketed self-join + exact
+    # cosine, recomputed independently
+    nd6_sig_list = ", ".join(_plane_sig(t, 6) for t in range(8))
+    cosine_nd_sql = f"""
+        WITH e AS (
+          SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+            WHERE vec_id % 25 = 0
+          )
+        ),
+        sigs AS (SELECT vec_id, [{nd6_sig_list}] AS sg FROM e),
+        banded AS (
+          SELECT vec_id, i AS table_id, sg[i] AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) t
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.table_id = b.table_id AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+          round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                       y.embedding::DOUBLE[]), 6) AS cos
+        FROM cands JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+        WHERE cos >= 0.99
     """
 
     # end-to-end minhash_near_dups twin (r1 VERDICT #2): shingles -> 16
@@ -955,4 +1001,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": near_dups_sql,
         "lsh_ann_topk": lsh_topk_sql,
         "lsh_ann_recall": lsh_recall_sql,
+        "cosine_near_dups": cosine_nd_sql,
     }

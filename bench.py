@@ -178,6 +178,16 @@ def main():
         .agg(F.count(F.lit(1)), F.min(F.element_at(F.col("s"), 1))).collect(),
         rows=N_IMAGES,
     )
+    # production-hasher twin (masked xxhash64, no oracle twin): shows the
+    # headroom over the md5-portable construction at the same plan shape
+    sig_n = minhash_signature(word_shingles(F.col("caption"), 2),
+                              n_hashes=16, hasher="native")
+    timed(
+        "caption_minhash_sigs_native",
+        lambda: caps.select(sig_n.alias("s"))
+        .agg(F.count(F.lit(1)), F.min(F.element_at(F.col("s"), 1))).collect(),
+        rows=N_IMAGES,
+    )
     conform_schema = _schema({
         "w": Field(type=float, default=0.0),
         "h": Field(type=float, default=0.0),

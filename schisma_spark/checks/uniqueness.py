@@ -16,6 +16,12 @@ Salting is the right tool when per-key aggregation STATE is large
 (collect_set/approx sketches) or map tasks vastly outnumber reducers, so
 ``salt_buckets`` stays an explicit knob: the hot-key splitting mechanism is
 exact either way (counts are associative — SURVEY.md §7 hard-part (d)).
+
+Also measured and rejected for COUNT (r2): a hash-PREFILTER variant that
+groups ``xxhash64(key)`` longs first and exact-verifies only colliding
+hashes — 4.92 s vs plain 3.96 s at 40M near-unique rows / local[32]; the
+candidate semi-join stage costs more than the narrower shuffle saves,
+again because map-side partials already shrink the wide shuffle.
 """
 
 from __future__ import annotations

@@ -25,6 +25,15 @@ def hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def hash32_native(*cols: Column) -> Column:
+    """32-bit NATIVE hash (xxhash64 masked): ~an order of magnitude cheaper
+    than the md5 construction (no hex round-trip, fully code-generated,
+    multi-arg without string concat) but has no DuckDB twin — the
+    production path for hash-heavy operators (minhash/simhash) when oracle
+    parity is not required. Same non-negative 32-bit range as hash32."""
+    return F.xxhash64(*cols).bitwiseAND(F.lit(HASH32_MAX))
+
+
 def hash60(c: Column) -> Column:
     """60-bit portable hash."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

@@ -105,6 +105,56 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int,
     return sig
 
 
+def cosine_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-mode twin of
+    minhash_near_dups for vector columns): hyperplane-LSH bucketed
+    self-join generates candidates, exact cosine verifies —
+    ``id_a, id_b, cos`` with ``cos >= threshold``.
+
+    Scale shape: explode to L=(n_tables) rows per vector, self-join on
+    (table_id, bucket) — shuffle O(N*L), never O(N^2); each surviving pair
+    scores once. m=n_planes tunes bucket selectivity: higher m -> smaller
+    buckets, right for the high-threshold near-dup regime (candidate prob
+    for per-plane agreement p is 1-(1-p^m)^L)."""
+    sigs = F.array(
+        *[
+            hyperplane_signature(F.col(vec_col), dim, n_planes, seed=f"t{t}")
+            for t in range(n_tables)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(sigs).alias("table_id", "bucket"),
+    )
+    a = banded.select("table_id", "bucket", F.col("_id").alias("id_a"))
+    b = banded.select("table_id", "bucket", F.col("_id").alias("id_b"))
+    cands = (
+        a.join(b, on=["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = cosine_sim(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     probes: DataFrame,

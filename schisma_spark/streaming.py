@@ -109,3 +109,29 @@ def windowed_drift_stream(
             "cnt",
         )
     )
+
+
+def windowed_kll_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    k: int = 200,
+) -> DataFrame:
+    """Watermarked tumbling-window KLL quantile sketch — the streaming twin
+    of checks.sketch.kll_sketch. One ~3 KB mergeable sketch per window in
+    the state store (fixed-size state regardless of row volume, unlike a
+    collect_list); downstream, each window's sketch compares against the
+    baseline via checks.sketch.ks_from_sketches without touching raw rows."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(F.kll_sketch_agg_double(F.col(value_col), F.lit(k)).alias("sketch"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "sketch",
+        )
+    )

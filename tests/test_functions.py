@@ -164,3 +164,37 @@ def test_lsh_ann_recall(spark):
     # these synthetic vectors are weakly correlated (top cos ~0.35), so a
     # wide-table config is needed for recall; still approximate
     assert recall > 0.5
+
+
+def test_minhash_near_dups_native_hasher(spark):
+    """hasher='native' (masked xxhash64 production path) finds the same
+    planted exact duplicate with jac == 1.0."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.dedup import minhash_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=base),
+            Row(doc_id=3, text="completely different words entirely here "
+                               "nothing shared at all with anyone")]
+    df = spark.createDataFrame(rows)
+    for hasher in ("portable", "native"):
+        out = minhash_near_dups(df, "text", "doc_id", threshold=0.9,
+                                hasher=hasher).collect()
+        assert [(r["id_a"], r["id_b"], r["jac"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_cosine_near_dups_planted(spark):
+    """LSH-bucketed embedding near-dup: planted exact duplicate found with
+    cos == 1.0; orthogonal vectors produce no pair."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.similarity import cosine_near_dups
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [Row(vec_id=1, embedding=e1), Row(vec_id=2, embedding=e1),
+            Row(vec_id=3, embedding=e2)]
+    out = cosine_near_dups(spark.createDataFrame(rows), "vec_id",
+                           "embedding", dim=dim, threshold=0.99,
+                           n_tables=4, n_planes=3).collect()
+    assert [(r["id_a"], r["id_b"], r["cos"]) for r in out] == [(1, 2, 1.0)]

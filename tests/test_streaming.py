@@ -74,3 +74,37 @@ def test_windowed_drift_stream(spark, tmp_path):
     assert out
     assert sum(r["cnt"] for r in out) == 200
     assert {r["bin"] for r in out} <= set(range(8))
+
+
+def test_windowed_kll_stream(spark, tmp_path):
+    from schisma_spark.checks import kll_quantiles, ks_from_sketches
+    from schisma_spark.checks.sketch import kll_sketch
+    from schisma_spark.streaming import windowed_kll_stream
+
+    inp = str(tmp_path / "ev3")
+    df = spark.createDataFrame(
+        [(i, f"2026-01-01 00:{i % 50:02d}:00", float(i % 40)) for i in range(400)],
+        "id long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(df.schema).parquet(inp)
+    sk = windowed_kll_stream(stream, "ts", "v", window="25 minutes")
+    q = (
+        sk.writeStream.format("memory").queryName("kll_win")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    wins = spark.sql("select * from kll_win")
+    rows = wins.collect()
+    # 50 minutes of events / 25-minute tumbling windows -> 2 (3 when the
+    # epoch-aligned window grid straddles the first/last event)
+    assert len(rows) in (2, 3)
+    assert all(len(r["sketch"]) < 8192 for r in rows)  # fixed-size state
+    # window sketches are real KLL state: quantiles + drift compare work
+    qs = kll_quantiles(wins.limit(1), [0.5]).collect()
+    assert 0.0 <= qs[0]["value"] <= 40.0
+    base = kll_sketch(df, "v")
+    ks = ks_from_sketches(wins.limit(1).select("sketch"), base).collect()
+    assert 0.0 <= ks[0]["ks"] <= 1.0
