@@ -192,7 +192,16 @@ def minhash_near_dups(
     cands = minhash_candidate_pairs(df, text_col, id_col, shingle_k,
                                     n_hashes, bands, hasher=hasher)
     h32 = hash32_native if hasher == "native" else hash32
-    sh = df.select(
+    # hash ONLY the docs that appear in a candidate pair: a semi-join
+    # against the (small) candidate id set before the per-shingle hashing —
+    # at near-dup-sparse corpora this hashes O(candidates) docs, not all
+    # of them (measured: the all-docs version cost +3 s at sf0.1)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, id_col, "leftsemi").select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             F.transform(word_shingles(F.col(text_col), shingle_k),
