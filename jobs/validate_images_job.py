@@ -37,6 +37,11 @@ def main(argv=None):
     ap.add_argument("--decode", action="store_true",
                     help="also run the Arrow decode/PSNR pass")
     ap.add_argument("--batch-partitions", type=int, default=None)
+    ap.add_argument("--kll-col", default=None,
+                    help="numeric column to KLL-sketch for drift")
+    ap.add_argument("--kll-baseline", default=None,
+                    help="baseline sketch table; created on first run, "
+                         "compared KS-style afterwards")
     args = ap.parse_args(argv)
 
     # under spark-submit the session already exists; getOrCreate attaches
@@ -81,6 +86,23 @@ def main(argv=None):
             ~F.col("decode_ok") | ~F.col("pixels_ok") | ~F.col("size_ok")
         ).count()
         print(json.dumps({"decode_bad_rows": bad}), file=sys.stderr)
+
+    if args.kll_col and args.kll_baseline and res.manifest_records:
+        # mergeable-sketch drift (checks/sketch.py): first run writes the
+        # baseline (one ~3 KB sketch), later runs compare this batch's
+        # sketch KS-style against it without touching baseline raw data
+        from schisma_spark.checks import kll_sketch, ks_from_sketches
+
+        cur = kll_sketch(res.batch, args.kll_col)
+        try:
+            base = spark.read.parquet(args.kll_baseline)
+            ks = ks_from_sketches(cur, base).collect()[0]["ks"]
+            print(json.dumps({"drift_ks_vs_baseline": round(ks, 4)}),
+                  file=sys.stderr)
+        except Exception:
+            cur.write.mode("overwrite").parquet(args.kll_baseline)
+            print(json.dumps({"kll_baseline_written": args.kll_baseline}),
+                  file=sys.stderr)
 
     wall = time.perf_counter() - t0
     print(json.dumps({

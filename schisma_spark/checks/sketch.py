@@ -40,7 +40,10 @@ def kll_sketch(df: DataFrame, value_col: str,
     sketch``. Partial aggregation is map-side (Catalyst treats the sketch
     as ordinary mergeable agg state), so only tiny partials shuffle."""
     group_by = list(group_by or [])
-    agg = F.kll_sketch_agg_double(F.col(value_col), F.lit(k)).alias("sketch")
+    # kll_sketch_agg_double accepts only FLOAT/DOUBLE; widen ints (exact)
+    agg = F.kll_sketch_agg_double(
+        F.col(value_col).cast("double"), F.lit(k)
+    ).alias("sketch")
     return df.groupBy(*group_by).agg(agg) if group_by else df.agg(agg)
 
 
@@ -131,21 +134,30 @@ def ks_from_sketches(a: DataFrame, b: DataFrame,
             F.kll_sketch_get_quantile_double(sk, F.lit(q)) for q in qs
         ])
 
-    def direction(ga: Column, gb: Column) -> Column:
-        # for each grid point i: |q_i - fraction of gb <= ga[i]|
-        return F.array_max(F.array(*[
+    n = float(len(qs))
+
+    def frac_le(g: Column, x: Column) -> Column:
+        return F.size(F.filter(g, lambda y: y <= x)) / F.lit(n)
+
+    def gaps_at(points: Column, ga: Column, gb: Column) -> Column:
+        # |F_a(x) - F_b(x)| estimated from the two quantile grids at each
+        # probe value x — comparing the two empirical CDFs at the SAME
+        # values handles discrete distributions (ties) correctly, where
+        # "rank of a's q-quantile in b" does not: a step distribution maps
+        # a whole rank interval onto one value, so |q - F_b(Q_a(q))| reads
+        # as drift on IDENTICAL data
+        return F.array(*[
             F.abs(
-                F.lit(q)
-                - F.size(F.filter(gb, lambda y: y <= F.element_at(ga, i + 1)))
-                / F.lit(float(len(qs)))
+                frac_le(ga, F.element_at(points, i + 1))
+                - frac_le(gb, F.element_at(points, i + 1))
             )
-            for i, q in enumerate(qs)
-        ]))
+            for i in range(len(qs))
+        ])
 
     ga, gb = grid(F.col("_ska")), grid(F.col("_skb"))
     out = j.select(*group_by, ga.alias("_ga"), gb.alias("_gb"))
     ks = F.greatest(
-        direction(F.col("_ga"), F.col("_gb")),
-        direction(F.col("_gb"), F.col("_ga")),
+        F.array_max(gaps_at(F.col("_ga"), F.col("_ga"), F.col("_gb"))),
+        F.array_max(gaps_at(F.col("_gb"), F.col("_ga"), F.col("_gb"))),
     )
     return out.select(*group_by, ks.alias("ks"))

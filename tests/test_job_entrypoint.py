@@ -1,0 +1,50 @@
+"""Drive the spark-submit entry point in-process (getOrCreate attaches to
+the test session): resume semantics + the r2 KLL drift option."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from schisma_spark.image.fixtures import images_table
+
+
+def _run(capsys, argv):
+    sys.path.insert(0, "/root/repo/jobs")
+    import validate_images_job
+
+    validate_images_job.main(argv)
+    out = capsys.readouterr()
+    return json.loads(out.out.strip().splitlines()[-1]), out.err
+
+
+def test_job_end_to_end_with_kll_drift(spark, tmp_path, capsys):
+    inp = str(tmp_path / "in")
+    images_table(spark, 300, seed=42).write.mode("overwrite").parquet(inp)
+    args = [
+        "--input", inp,
+        "--violations", str(tmp_path / "viols"),
+        "--verdicts", str(tmp_path / "verd"),
+        "--manifest", str(tmp_path / "m"),
+        "--kll-col", "w",
+        "--kll-baseline", str(tmp_path / "kll_base"),
+    ]
+    res1, err1 = _run(capsys, args)
+    assert res1["rows_processed"] == 300
+    assert res1["partitions_done_this_run"] > 0
+    assert "kll_baseline_written" in err1  # first run creates the baseline
+
+    # resumed run on the same manifest: nothing left to do
+    res2, _ = _run(capsys, args)
+    assert res2["rows_processed"] == 0
+
+    # fresh manifest, same data + existing baseline: drift compare runs
+    args2 = args.copy()
+    args2[args2.index(str(tmp_path / "m"))] = str(tmp_path / "m2")
+    res3, err3 = _run(capsys, args2)
+    assert res3["rows_processed"] == 300
+    drift = json.loads(err3.strip().splitlines()[-1])
+    assert drift["drift_ks_vs_baseline"] < 0.08  # same distribution
+
+    viols = spark.read.parquet(str(tmp_path / "viols"))
+    assert viols.count() > 0
