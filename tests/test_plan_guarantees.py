@@ -84,3 +84,30 @@ def test_count_column_matches_struct_size(spark, img_parquet):
         F.size(res.viols_col).alias("a"), res.nviols_col.alias("b")
     ).where(F.col("a") != F.col("b")).count()
     assert bad == 0
+
+
+def test_lsh_self_join_not_cartesian(spark):
+    """cosine_near_dups / lsh_ann_topk candidate generation must join on
+    (table_id, bucket) — never a cartesian/broadcast-nested-loop over the
+    vector table (the O(N^2) shape the LSH exists to avoid)."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.similarity import (
+        cosine_near_dups, lsh_ann_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), 1.0, 0.5, 0.25])
+         for i in range(50)]
+    )
+    nd = cosine_near_dups(emb, "vec_id", "embedding", dim=4, threshold=0.99,
+                          n_tables=2, n_planes=2)
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    topk = lsh_ann_topk(emb, emb.where(F.col("vec_id") % 10 == 0),
+                        "vec_id", "embedding", dim=4, k=3,
+                        n_tables=2, n_planes=2)
+    plan2 = topk._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
