@@ -15,11 +15,14 @@ Spark 4's VariantType removes both limits for semi-structured payloads:
 Everything is built-in expressions (parse_json / try_variant_get /
 schema_of_variant / transform); no Python runs per row.
 
-v1 scope: atoms (number/bigint/string/boolean/null), unions, fixed-key
+Scope: atoms (number/bigint/string/boolean/null), unions, fixed-key
 objects nested to any depth (unexpected-key detection included), arrays of
-union elements, ``$validate`` via typed extraction. Regex keys over
-variants are validated for presence/unexpectedness only (use
-json_validate.py when regex-keyed VALUES need checks).
+union elements, ``$validate`` via typed extraction, and (r2) regex keys
+with full VALUE validation — dynamic keys dispatch per row through a
+``map<string,variant>`` view (variant paths must be foldable, so dynamic
+access goes through one to_json/from_json round trip), matching the
+reference's runtime regex loop (schisma.mjs:256-295) with the same
+best-of-matching-patterns scoring as compiler._check_map.
 """
 
 from __future__ import annotations
@@ -241,8 +244,7 @@ def _check_variant_object(alt: ObjectAlt, idx, kv: Column, where: Column,
         contribs.append(
             F.when(ckv.isNull(), missing).otherwise(_child_struct(base))
         )
-    # unexpected keys: enumerate runtime keys via to_json; regex-matched
-    # keys are accepted (presence check only in the variant path)
+    # unexpected keys: enumerate runtime keys via to_json
     keys_arr = F.json_object_keys(F.to_json(kv))
     fixed = (
         F.array(*[F.lit(k) for k in alt.fields])
@@ -253,6 +255,67 @@ def _check_variant_object(alt: ObjectAlt, idx, kv: Column, where: Column,
         lambda k: ~F.array_contains(fixed, k)
         & ~functools_reduce_or([k.rlike(p) for p, _ in alt.regex]),
     )
+    # regex-matched dynamic keys: VALUE validation per row (r2). Variant
+    # get paths must be foldable, so dynamic entries are accessed through
+    # a map<string,variant> view; each matching pattern is tried and the
+    # best result kept (non-problems first, then max h — the same scoring
+    # as compiler._check_map / schisma.mjs:256-295).
+    if alt.regex:
+        NOMATCH = -(10 ** 9)
+        mv = F.from_json(F.to_json(kv), "map<string,variant>")
+
+        def _rx_entry(e: Column) -> Column:
+            k = e["key"]
+            # a JSON null entry must stay a VOID variant, not SQL NULL
+            val = F.coalesce(e["value"], F.parse_json(F.lit("null")))
+            w = F.concat_ws(".", where, k)
+            per_structs = []
+            for pat, alts_ in alt.regex:
+                rs = [check_variant_node(s, val, w, opts) for s in alts_]
+                if len(rs) == 1:
+                    v_, c_, h_ = rs[0].viols, rs[0].code, rs[0].h
+                else:
+                    h_arr = F.array(*[r.h for r in rs])
+                    b = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
+                    v_ = F.element_at(F.array(*[r.viols for r in rs]), b)
+                    c_ = F.element_at(F.array(*[r.code for r in rs]), b)
+                    h_ = F.array_max(h_arr)
+                p_ = is_problem(c_)
+                score = (h_.cast("long")
+                         + F.when(p_, F.lit(-100000)).otherwise(F.lit(0)))
+                per_structs.append(F.struct(
+                    F.when(k.rlike(pat), score)
+                    .otherwise(F.lit(NOMATCH).cast("long")).alias("s"),
+                    v_.alias("v"), p_.alias("p"),
+                    h_.cast("int").alias("h"),
+                ))
+            skip = F.struct(empty_varr().alias("v"), F.lit(False).alias("p"),
+                            F.lit(0).cast("int").alias("h"))
+
+            def pick(arr: Column) -> Column:
+                scores = F.transform(arr, lambda x: x["s"])
+                mx = F.array_max(scores)
+                best = F.array_position(scores, mx).cast("int")
+                ch = F.element_at(arr, best)
+                return F.when(
+                    mx > NOMATCH,
+                    F.struct(ch["v"].alias("v"), ch["p"].alias("p"),
+                             ch["h"].alias("h")),
+                ).otherwise(skip)
+
+            matched = functools_reduce_or(
+                [k.rlike(p) for p, _ in alt.regex])
+            return F.when(
+                F.array_contains(fixed, k) | ~matched, skip
+            ).otherwise(bind(F.array(*per_structs), pick))
+
+        rx_entries = F.transform(F.map_entries(mv), _rx_entry)
+        contribs.append(F.struct(
+            F.flatten(F.transform(rx_entries, lambda e: e["v"])).alias("v"),
+            F.exists(rx_entries, lambda e: e["p"]).alias("p"),
+            F.aggregate(rx_entries, F.lit(0).cast("int"),
+                        lambda acc, e: acc + e["h"]).alias("h"),
+        ))
     if not opts.ignore_unexpected:
         contribs.append(
             F.struct(

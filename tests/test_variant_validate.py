@@ -133,3 +133,30 @@ def test_readme_five_errors_verbatim(spark):
         ("invalid", "owns.cats.0.age"),
         ("no match", "owns.cats.2.hairless"),
     ]
+
+
+def test_variant_regex_key_value_checks(spark):
+    """r2: regex-matched dynamic keys get full VALUE validation over the
+    variant path (was presence-only). Pattern $/^x_ expects Number."""
+    df = spark.createDataFrame([
+        Row(id=1, p='{"k": 1, "x_a": 5, "x_b": "oops"}'),
+        Row(id=2, p='{"k": 1, "x_ok": 2.5}'),
+        Row(id=3, p='{"k": 1, "zz": 1}'),
+    ])
+    sch = schema({"k": Field(type=float), "$/^x_": [float]})
+    rows = validate_variant(df, "p", sch, keys=["id"]).violations.collect()
+    got = sorted((r["id"], r["code"], r["where"]) for r in rows)
+    assert got == [
+        (1, "no match", "x_b"),        # regex value type mismatch
+        (3, "unexpected key", "zz"),   # unmatched dynamic key
+    ]
+    bad = [r for r in rows if r["id"] == 1][0]
+    assert bad["received"] == "string" and bad["expected"] == "number"
+
+
+def test_variant_regex_multiple_patterns_best_wins(spark):
+    # two patterns match 'xy_1': one expects Number (fails on a string),
+    # one expects String (passes) -> non-problem result wins, no violation
+    df = spark.createDataFrame([Row(id=1, p='{"xy_1": "s"}')])
+    sch = schema({"$/^x": [float], "$/^xy": [str]})
+    assert validate_variant(df, "p", sch, keys=["id"]).violations.count() == 0
