@@ -64,7 +64,27 @@ def read_table(spark: SparkSession, ref: str, fmt: str = "auto",
 
 
 def write_table(df: DataFrame, ref: str, fmt: str = "auto",
-                mode: str = "append", partition_by: list[str] | None = None):
+                mode: str = "append", partition_by: list[str] | None = None,
+                bucket_by: tuple[int, list[str]] | None = None):
+    """``bucket_by=(n, cols)`` writes a BUCKETED catalog table (``ref``
+    must be a table name): two tables bucketed by the same join key with
+    the same bucket count sort-merge-join with NO exchange on either side
+    — the co-located-join layout for repeated big-fact joins at 10^12 rows
+    (e.g. verdict history x violations on image_id). Bucketing implies
+    ``saveAsTable``; Iceberg gets the same effect via its partition/
+    sort-order spec instead."""
+    if bucket_by is not None:
+        if "/" in ref:
+            raise ValueError("bucketed writes need a catalog table name, "
+                             "not a path (bucket metadata lives in the "
+                             "catalog)")
+        n, cols = bucket_by
+        w = df.write.mode(mode).format(
+            "parquet" if fmt == "auto" else fmt)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.bucketBy(n, *cols).sortBy(*cols).saveAsTable(ref)
+        return
     if fmt == "iceberg" and "/" not in ref:
         w = df.writeTo(ref)
         if mode == "overwrite":

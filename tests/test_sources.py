@@ -78,3 +78,37 @@ def test_iceberg_write_dispatch(spark):
     write_table(df, "lake.db.images", fmt="iceberg", mode="overwrite")
     w.createOrReplace.assert_called_once()
     w.append.assert_not_called()
+
+
+def test_bucketed_write_colocated_join(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge-join with NO shuffle exchange on either side — the
+    co-located layout the engine recommends for repeated big joins."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(1000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 3).alias("vb"))
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+    write_table(a, "bk_a", mode="overwrite", bucket_by=(8, ["k"]))
+    write_table(b, "bk_b", mode="overwrite", bucket_by=(8, ["k"]))
+    try:
+        # hint the sort-merge path (AQE would broadcast this tiny fixture;
+        # at real scale SMJ is the shape bucketing exists for)
+        j = spark.table("bk_a").hint("merge").join(
+            spark.table("bk_b").hint("merge"), "k")
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, \
+            "bucketed merge join must be shuffle-free"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+    # path refs reject bucketing loudly (metadata needs a catalog)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="catalog table"):
+        write_table(a, str(tmp_path / "x"), bucket_by=(8, ["k"]))
