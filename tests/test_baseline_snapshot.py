@@ -37,3 +37,21 @@ def test_baseline_roundtrip_and_drift(spark, tmp_path):
               if r["verdict"] == "fail"}
     assert failed == {("w", 2), ("w", 9)}
     clean.unpersist()
+
+
+def test_baseline_with_kll_sketch_columns(spark, tmp_path):
+    """r2: sketch columns in the baseline workflow — no bin config needed,
+    merge-capable state, same pass/fail surface."""
+    clean = images_ref(spark, 2000, seed=42)
+    spec = BaselineSpec(columns={}, group_by=(), sketch_columns=("w",))
+    p = str(tmp_path / "b")
+    save_baseline(clean, spec, p)
+    same = compare_to_baseline(images_ref(spark, 2000, seed=42), p,
+                               threshold=0.1)
+    r = same.collect()[0]
+    assert r["column"] == "w" and r["verdict"] == "pass"
+
+    shifted = images_ref(spark, 2000, seed=42).withColumn(
+        "w", F.col("w") + F.lit(40))
+    bad = compare_to_baseline(shifted, p, threshold=0.1).collect()[0]
+    assert bad["verdict"] == "fail" and bad["ks"] > 0.3
