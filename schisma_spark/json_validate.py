@@ -114,12 +114,15 @@ def conform_json(
     if not isinstance(alt, ObjectAlt):
         raise TypeError("json schema root must be an object")
     col = F.col(json_col)
-    m = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
-    mv = F.from_json(col, "map<string,variant>")  # type-preserving twin
+    # ONE parse: the variant map carries both the type-preserved values and
+    # (via a '$'-string extraction per fixed key) the stringly view the
+    # coercion table needs — an earlier version parsed the column twice
+    # (map<string,string> + map<string,variant>)
+    mv = F.from_json(col, "map<string,variant>")
 
     frags: list[Column] = []
     for k, child in alt.fields.items():
-        cur = F.element_at(m, F.lit(k))
+        cur = F.try_variant_get(F.element_at(mv, F.lit(k)), "$", "string")
         key_lit = _json.dumps(k) + ":"
         atoms = [a.atom for a in child.alts
                  if isinstance(a, AtomAlt) and a.atom is not ta.NULL]
@@ -146,16 +149,19 @@ def conform_json(
                 F.lit(key_lit + _json.dumps(dflt, separators=(",", ":")))
                 if dflt is not None else F.lit(None).cast("string"),
             )
+            frags.append(F.when(cur.isNotNull(), present).otherwise(dflt_frag))
         else:
             # object/array/composite child: embed the original value's JSON
             # untouched (variant round-trip; fixes the old re-quote of
-            # nested objects through map<string,string>)
+            # nested objects through map<string,string>). Presence gates on
+            # the filtered-map rendering, NOT on `cur` — the '$'-string
+            # extraction of an object/array variant is NULL even when the
+            # key is present
             one = F.to_json(F.map_filter(mv, lambda k2, _v: k2 == F.lit(k)))
-            present = F.when(
+            frags.append(F.when(
                 F.length(one) > 2,
                 one.substr(F.lit(2), F.length(one) - F.lit(2)),
-            )
-        frags.append(F.when(cur.isNotNull(), present).otherwise(dflt_frag))
+            ).otherwise(dflt_frag))
 
     # dynamic keys: keep regex-matched (or everything when
     # remove_unexpected=False), values type-preserved through variant
@@ -185,7 +191,7 @@ def conform_json(
     )
     out = (
         F.when(col.isNull(), F.lit(None).cast("string"))
-        .when(m.isNull(), F.lit(default_json))  # malformed -> create()
+        .when(mv.isNull(), F.lit(default_json))  # malformed -> create()
         .otherwise(F.concat(F.lit("{"), body, F.lit("}")))
         .alias(json_col)
     )

@@ -74,3 +74,21 @@ def test_conform_json_roundtrip(spark):
     fixed = conform_json(df.where("id < 3"), "p", sch)
     res = validate_json(fixed, "p", sch, keys=["id"])
     assert res.violations.count() == 0
+
+
+def test_conform_json_composite_children_preserved(spark):
+    """Nested object/array children round-trip typed and untouched; absent
+    required composites get their create() default (r2 single-parse
+    regression guard: presence of a composite can't be judged from the
+    string extraction, which is NULL for objects)."""
+    df = spark.createDataFrame([
+        Row(id=1, p='{"k": 1, "o": {"n": 2}, "a": [1, "x", null]}'),
+        Row(id=2, p='{"k": 1}'),
+    ])
+    sch = schema({"k": Field(type=float),
+                  "o": {"n": Field(type=int, required=False)},
+                  "a": Field(typeof=[[]], required=False)})
+    out = {r["id"]: json.loads(r["p"])
+           for r in conform_json(df, "p", sch).collect()}
+    assert out[1] == {"k": 1.0, "o": {"n": 2}, "a": [1, "x", None]}
+    assert out[2] == {"k": 1.0, "o": {}}  # required o inserted, optional a omitted
