@@ -392,9 +392,11 @@ def q_recursive_validate(spark, sf):
 
 def q_kll_quantiles_check(spark, sf):
     """Mergeable KLL quantile sketch (checks/sketch.py) accuracy verdict:
-    exact rank of each estimated quantile within 2x the documented k=200
-    rank error. KLL compaction is randomized so the verdict — not the
-    estimate — is the deterministic, oracle-able artifact."""
+    exact rank of each estimated quantile within KLL_TOL = 3x the
+    documented k=200 rank error (sketch.py:34 — widened so the randomized
+    compaction never flakes the oracle row). KLL compaction is randomized
+    so the verdict — not the estimate — is the deterministic, oracle-able
+    artifact."""
     return kll_quantile_check(_t(spark, sf, "lineitem"), "l_quantity",
                               [0.1, 0.25, 0.5, 0.75, 0.9])
 
@@ -937,8 +939,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kll_quantiles_check": """
             -- the KLL estimate is randomized; the deterministic artifact is
-            -- the accuracy VERDICT (exact rank within 2x documented k=200
-            -- rank error), which the engine computes with an exact
+            -- the accuracy VERDICT (exact rank within KLL_TOL = 3x the
+            -- documented k=200 rank error, checks/sketch.py:34), which the
+            -- engine computes with an exact
             -- distributed count — the oracle pins the expected verdicts
             SELECT 0.1::DOUBLE AS q, true AS within_tol
             UNION ALL SELECT 0.25::DOUBLE, true

@@ -91,17 +91,26 @@ def main(argv=None):
         # mergeable-sketch drift (checks/sketch.py): first run writes the
         # baseline (one ~3 KB sketch), later runs compare this batch's
         # sketch KS-style against it without touching baseline raw data
+        from pyspark.errors import AnalysisException
+
         from schisma_spark.checks import kll_sketch, ks_from_sketches
 
         cur = kll_sketch(res.batch, args.kll_col)
+        # only a genuinely-absent baseline (AnalysisException on the read)
+        # triggers the first-run write; comparison-time errors PROPAGATE —
+        # a bare except here silently reset the drift history whenever the
+        # compare failed for any transient reason (r2 ADVICE)
         try:
             base = spark.read.parquet(args.kll_baseline)
-            ks = ks_from_sketches(cur, base).collect()[0]["ks"]
-            print(json.dumps({"drift_ks_vs_baseline": round(ks, 4)}),
-                  file=sys.stderr)
-        except Exception:
+        except AnalysisException:
+            base = None
+        if base is None:
             cur.write.mode("overwrite").parquet(args.kll_baseline)
             print(json.dumps({"kll_baseline_written": args.kll_baseline}),
+                  file=sys.stderr)
+        else:
+            ks = ks_from_sketches(cur, base).collect()[0]["ks"]
+            print(json.dumps({"drift_ks_vs_baseline": round(ks, 4)}),
                   file=sys.stderr)
 
     wall = time.perf_counter() - t0

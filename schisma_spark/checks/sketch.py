@@ -64,11 +64,17 @@ def kll_quantiles(sketches: DataFrame, probs: Sequence[float],
                   sketch_col: str = "sketch") -> DataFrame:
     """Estimated quantile values from sketches: ``group..., q, value``."""
     group_by = list(group_by or [])
+    # an all-null/empty group aggregates to an EMPTY sketch buffer, and the
+    # quantile accessor THROWS on that instead of returning NULL — the
+    # n>0 CASE guard keeps the degenerate group as value=NULL rows
+    sk = F.col(sketch_col)
+    ok = sk.isNotNull() & (F.kll_sketch_get_n_double(sk) > 0)
     pairs = F.array(*[
         F.struct(
             F.lit(float(q)).alias("q"),
-            F.kll_sketch_get_quantile_double(
-                F.col(sketch_col), F.lit(float(q))).alias("value"),
+            F.when(
+                ok, F.kll_sketch_get_quantile_double(sk, F.lit(float(q))),
+            ).alias("value"),
         )
         for q in probs
     ])
@@ -92,19 +98,28 @@ def kll_quantile_check(df: DataFrame, value_col: str,
     the sketch's estimate (one distributed count per probe, computed from
     the same data) must satisfy ``|exact_rank - q| <= tol``. Returns
     ``q, within_tol`` — deterministic although the estimate is randomized,
-    so it is oracle-able (the oracle pins the expected verdicts)."""
+    so it is oracle-able (the oracle pins the expected verdicts). An empty
+    or all-null column returns ``within_tol = NULL`` for every probe (the
+    check could not run — visible, not a silent no-op)."""
     est = kll_quantiles(kll_sketch(df, value_col, k=k), probs)
     vals = df.select(F.col(value_col).alias("_v")).where(F.col("_v").isNotNull())
-    n = vals.count()
     # one tiny broadcast of len(probs) estimates against the table: exact
-    # rank = count(v <= estimate) / n, all probes in a single scan
+    # rank = count(v <= estimate) / count(*), all probes in a single scan.
+    # n folds INTO the rank aggregation (each q group replicates every
+    # value, so its count IS n) — one plan, no separate count() action
     joined = F.broadcast(est).crossJoin(vals)
     ranks = (
         joined.groupBy("q")
         .agg((F.sum((F.col("_v") <= F.col("value")).cast("long"))
-              / F.lit(n)).alias("exact_rank"))
+              / F.count(F.lit(1))).alias("exact_rank"))
     )
-    return ranks.select(
+    # an empty / all-null column yields ZERO rank rows; re-anchor on the
+    # literal probe list so the degenerate input surfaces as
+    # within_tol=NULL per probe instead of a silent empty result
+    probe_rows = df.sparkSession.createDataFrame(
+        [(float(q),) for q in probs], "q double"
+    )
+    return probe_rows.join(ranks, "q", "left").select(
         "q",
         (F.abs(F.col("exact_rank") - F.col("q")) <= F.lit(tol))
         .alias("within_tol"),

@@ -76,6 +76,30 @@ def default_literal(node: Node, populate_arrays: bool = False) -> Column:
     )
 
 
+_ATOMICS = (T.NumericType, T.StringType, T.BooleanType, T.TimestampType,
+            T.TimestampNTZType, T.DateType)
+
+
+def _castable(src: T.DataType, dst: T.DataType) -> bool:
+    """Driver-side "will ``try_cast`` analyze" check for union-field
+    reconciliation: atomics inter-cast (NULL on runtime failure), arrays and
+    same-arity structs recurse; shape-changing casts (struct<->atomic,
+    map<->array, ...) would fail analysis, so the caller falls back to NULL
+    for those."""
+    if src == dst or isinstance(dst, T.StringType):
+        return True
+    if isinstance(src, _ATOMICS) and isinstance(dst, _ATOMICS):
+        return True
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return _castable(src.elementType, dst.elementType)
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        return len(src.fields) == len(dst.fields) and all(
+            _castable(a.dataType, b.dataType)
+            for a, b in zip(src.fields, dst.fields)
+        )
+    return False
+
+
 def _alt_static_match(alt, dtype: T.DataType) -> bool:
     if isinstance(alt, AtomAlt):
         if alt.atom is ta.NULL:
@@ -155,10 +179,21 @@ class Conformer:
             aligned = []
             for out, odt in outs_odts:
                 have = {f.name: f.dataType for f in odt.fields}
+
+                def _field(n: str, t: T.DataType, out=out, have=have):
+                    # same name, different type across alternatives: keep
+                    # the branch's actual value via try_cast to the union
+                    # type (r2 ADVICE — nulling it silently discarded the
+                    # winning branch's conformed value); NULL only for
+                    # genuinely absent or uncastable-shape fields
+                    if have.get(n) == t:
+                        return out.getField(n)
+                    if n in have and _castable(have[n], t):
+                        return out.getField(n).try_cast(t)
+                    return F.lit(None).cast(t)
+
                 aligned.append(F.struct(*[
-                    (out.getField(n) if have.get(n) == t
-                     else F.lit(None).cast(t)).alias(n)
-                    for n, t in union.items()
+                    _field(n, t).alias(n) for n, t in union.items()
                 ]))
             expr = aligned[-1]
             for j in range(len(aligned) - 2, -1, -1):

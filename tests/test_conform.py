@@ -169,3 +169,32 @@ def test_union_object_insert_missing(spark):
     # row 2's null required c gets its default — previously silently dropped
     assert out[1].asDict() == {"a": 1.0, "b": None, "c": 2.0}
     assert out[2].asDict() == {"a": 3.0, "b": None, "c": 7.0}
+
+
+def test_union_object_conflicting_field_types_try_cast(spark):
+    """r2 ADVICE: two union alternatives output the same field name with
+    DIFFERENT types; the union schema registers the first-seen type. The
+    other branch's value must survive via try_cast to that type — not be
+    silently replaced with NULL when its branch wins the row."""
+    df = spark.createDataFrame(
+        [Row(id=1, u=Row(a=1.0, b=None, x="7")),
+         Row(id=2, u=Row(a=None, b=2.0, x="5")),
+         Row(id=3, u=Row(a=None, b=2.0, x="abc"))],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("u", T.StructType([
+                T.StructField("a", T.DoubleType()),
+                T.StructField("b", T.DoubleType()),
+                T.StructField("x", T.StringType()),
+            ])),
+        ]),
+    )
+    sch = schema({"u": Field(typeof=[
+        {"a": float, "x": float},           # registers x as double
+        {"b": float, "x": str},             # conforms x as string
+    ])})
+    out = {r["id"]: r["u"] for r in sch.conform(df, keys=["id"]).collect()}
+    # rows 2/3 resolve to the {b, x: str} branch; its string x is cast to
+    # the union's double instead of nulled
+    assert out[2]["b"] == 2.0 and out[2]["x"] == 5.0
+    assert out[3]["x"] is None  # genuinely uncastable value -> NULL

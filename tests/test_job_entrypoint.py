@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import sys
 
+import pytest
+
 from schisma_spark.image.fixtures import images_table
 
 
@@ -48,3 +50,26 @@ def test_job_end_to_end_with_kll_drift(spark, tmp_path, capsys):
 
     viols = spark.read.parquet(str(tmp_path / "viols"))
     assert viols.count() > 0
+
+
+def test_job_baseline_compare_errors_propagate(spark, tmp_path, capsys):
+    """r2 ADVICE: only a genuinely-absent baseline triggers the first-run
+    write; a schema-mismatched (or otherwise broken) baseline must RAISE,
+    not be silently overwritten — that would reset the drift history and
+    mask real drift."""
+    inp = str(tmp_path / "in")
+    images_table(spark, 100, seed=7).write.mode("overwrite").parquet(inp)
+    bad_base = str(tmp_path / "kll_base")
+    spark.createDataFrame([(1,)], "foo int").write.parquet(bad_base)
+    args = [
+        "--input", inp,
+        "--violations", str(tmp_path / "viols"),
+        "--verdicts", str(tmp_path / "verd"),
+        "--manifest", str(tmp_path / "m"),
+        "--kll-col", "w",
+        "--kll-baseline", bad_base,
+    ]
+    with pytest.raises(Exception):
+        _run(capsys, args)
+    # the broken baseline is untouched — no silent drift-history reset
+    assert spark.read.parquet(bad_base).columns == ["foo"]

@@ -22,12 +22,22 @@ def lineitem(spark):
 
 
 def test_kll_quantiles_within_rank_error(spark, lineitem):
-    # hard accuracy verdict: exact rank of each estimate within 2x the
-    # documented k=200 rank error
+    # hard accuracy verdict: exact rank of each estimate within KLL_TOL
+    # (3x the documented k=200 rank error)
     out = kll_quantile_check(lineitem, "l_quantity",
                              [0.1, 0.25, 0.5, 0.75, 0.9]).collect()
     assert [r["q"] for r in out] == [0.1, 0.25, 0.5, 0.75, 0.9]
     assert all(r["within_tol"] for r in out)
+
+
+def test_kll_quantile_check_empty_input_visible(spark):
+    """r2 ADVICE: an empty / all-null column must NOT vanish into zero
+    rows — every probe comes back with within_tol = NULL (check could not
+    run)."""
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    out = kll_quantile_check(df, "v", [0.25, 0.75]).collect()
+    assert [r["q"] for r in out] == [0.25, 0.75]
+    assert all(r["within_tol"] is None for r in out)
 
 
 def test_kll_merge_equals_direct(spark, lineitem):
