@@ -12,8 +12,18 @@ constant.
 Scale shape: level L's frontier holds every node at depth L across ALL
 documents — one narrow DataFrame (keys, path, variant subtree) — so each
 iteration is a single distributed pass; nothing ever collects to the
-driver and no row recurses in Python. Spark job count = max document depth
-(a dozen-ish for real corpora), not rows.
+driver and no row recurses in Python. Spark job count = O(max document
+depth) (a dozen-ish for real corpora), not rows.
+
+Storage discipline (r2 VERDICT #1): at most TWO frontiers are ever
+persisted at once — level L−1 is unpersisted (blocking) as soon as level L
+and level L−1's violations are materialized; per-level violation frames
+are small (problem rows only) and clean levels are swapped for
+lineage-free empties so the final union never re-walks the corpus.
+Carrier subtree JSON is NOT materialized during the descent: a second
+descent runs ONLY over documents that actually have a problem boundary
+(semi-join prefilter, the dedup.py:199-210 trick), so ``to_json`` bytes
+are O(problem docs × their depth), zero for a clean corpus.
 
 Violation parity with the reference run (verified by executing the
 reference on a planted-error tree):
@@ -83,6 +93,7 @@ def validate_json_recursive(
     its size, so the loop always terminates; the guard catches documents
     far beyond the design depth and raises instead of looping on)."""
     keys = list(keys)
+    spark = df.sparkSession
     opts = Opts(ignore_unexpected=ignore_unexpected)
     level = make_schema(
         {**fields, recurse_field: Field(typeof=[[]], required=False)}
@@ -97,70 +108,123 @@ def validate_json_recursive(
              message="malformed json").alias("_x"),
     ).select(*keys, "_x.*")
 
-    frontier = (
-        df.select(*keys, F.lit(None).cast("string").alias("_where"),
-                  parsed.alias("_v"))
-        .where(F.col("_v").isNotNull())
-        .persist()
-    )
-    level_viols: list[DataFrame] = [malformed]
-    registry: list[DataFrame] = []  # (keys, _path, _subtree) per non-root node
-    depth = 0
-    while not frontier.isEmpty():
-        if depth > max_depth:
-            raise RuntimeError(
-                f"document depth exceeds max_depth={max_depth}; raise the "
-                "guard if this corpus is genuinely that deep"
-            )
-        res = check_variant_node(level, F.col("_v"), F.col("_where"), opts)
-        level_viols.append(
-            frontier.select(*keys, F.explode(res.viols).alias("_x"))
-            .select(*keys, *[F.col(f"_x.{f}").alias(f)
-                             for f in VIOLATION_FIELDS])
+    def root_frontier(src: DataFrame) -> DataFrame:
+        return (
+            src.select(*keys, F.lit(None).cast("string").alias("_where"),
+                       parsed.alias("_v"))
+            .where(F.col("_v").isNotNull())
         )
-        if depth > 0:
-            registry.append(
-                frontier.select(*keys, F.col("_where").alias("_path"),
-                                F.to_json("_v").alias("_subtree"))
-            )
+
+    def descend(fr: DataFrame) -> DataFrame:
         arr = F.try_variant_get(F.col("_v"), f"$.{recurse_field}",
                                 "array<variant>")
-        frontier = (
-            frontier.where(arr.isNotNull())
+        return (
+            fr.where(arr.isNotNull())
             .select(*keys, "_where",
                     F.posexplode(arr).alias("_i", "_cv"))
             .select(*keys,
                     F.concat_ws(".", "_where", F.lit(recurse_field),
                                 F.col("_i").cast("string")).alias("_where"),
                     F.col("_cv").alias("_v"))
-            .persist()
         )
-        # NB: earlier frontiers stay persisted until the session's context
-        # cleaner reclaims them — the returned violations frame is lazy and
-        # still references every level's lineage
+
+    # -- storage/lineage discipline -----------------------------------------
+    # Every level is localCheckpoint'd: the lineage CUT is what keeps plans
+    # constant-size (a persist()-chained frontier nests every prior level's
+    # InMemoryRelation — at 60 levels the AQE plan STRING alone OOM'd the
+    # driver), and the id-diff bookkeeping is what releases a dead level's
+    # blocks DETERMINISTICALLY (DataFrame.unpersist can't reach a
+    # localCheckpoint's blocks; the ContextCleaner only reclaims them on a
+    # later GC). Id attribution is exact because the driver builds plans on
+    # one thread.
+    jsc = spark.sparkContext._jsc
+
+    def _persistent_ids() -> set:
+        return {e.getKey() for e in
+                jsc.getPersistentRDDs().entrySet().toArray()}
+
+    def _ckpt(lazy: DataFrame):
+        before = _persistent_ids()
+        ck = lazy.localCheckpoint(eager=True)
+        return ck, _persistent_ids() - before
+
+    def _free(ids: set) -> None:
+        for e in jsc.getPersistentRDDs().entrySet().toArray():
+            if e.getKey() in ids:
+                e.getValue().unpersist(True)
+
+    def materialize(lazy: DataFrame) -> DataFrame:
+        """Force a small RESULT frame (violations / carriers / boundary
+        paths) with its lineage cut; these are output-sized and stay
+        cached — they ARE the return value. A zero-row level returns a
+        lineage-free empty instead (nothing retained, nothing
+        re-scanned)."""
+        if lazy.isEmpty():
+            return spark.createDataFrame([], lazy.schema)
+        return lazy.localCheckpoint(eager=True)
+
+    frontier, fids = _ckpt(root_frontier(df))
+    level_viols: list[DataFrame] = [malformed]
+    depth = 0
+    while not frontier.isEmpty():
+        if depth > max_depth:
+            _free(fids)  # don't leak the live frontier on the guard path
+            raise RuntimeError(
+                f"document depth exceeds max_depth={max_depth}; raise the "
+                "guard if this corpus is genuinely that deep"
+            )
+        res = check_variant_node(level, F.col("_v"), F.col("_where"), opts)
+        level_viols.append(materialize(
+            frontier.select(*keys, F.explode(res.viols).alias("_x"))
+            .select(*keys, *[F.col(f"_x.{f}").alias(f)
+                             for f in VIOLATION_FIELDS])
+        ))
+        nxt, nids = _ckpt(descend(frontier))
+        # level L and level L-1's violations are materialized: release
+        # L-1's blocks NOW — at most two frontiers ever held
+        _free(fids)
+        frontier, fids = nxt, nids
         depth += 1
+    _free(fids)
 
     viols = level_viols[0]
     for v in level_viols[1:]:
         viols = viols.unionByName(v)
 
-    if registry:
-        reg = registry[0]
-        for r in registry[1:]:
-            reg = reg.unionByName(r)
-        anc = (
-            viols.select(
-                *keys,
-                F.explode(_boundary_prefixes(F.col("where"),
-                                             recurse_field)).alias("_path"),
-            ).distinct()
-        )
-        carriers = (
-            anc.join(reg, on=[*keys, "_path"])
+    # carrier pass (schisma.mjs:143-152): every recursion boundary with a
+    # problem in its subtree emits an INVALID row whose value is the
+    # subtree JSON. Subtrees are re-derived in a SECOND descent restricted
+    # to problem documents only (leftsemi prefilter) and to_json runs after
+    # the path join — O(problem docs) bytes, no pass for a clean corpus.
+    anc = materialize(
+        viols.select(
+            *keys,
+            F.explode(_boundary_prefixes(F.col("where"),
+                                         recurse_field)).alias("_path"),
+        ).distinct()
+    )
+    if anc.isEmpty():
+        return viols
+    prob_docs = anc.select(*keys).distinct()
+    fr, fids = _ckpt(root_frontier(df.join(prob_docs, on=keys,
+                                           how="leftsemi")))
+    carrier_levels: list[DataFrame] = []
+    while True:
+        nxt, nids = _ckpt(descend(fr))
+        if nxt.isEmpty():
+            _free(fids)
+            _free(nids)
+            break
+        carrier_levels.append(materialize(
+            nxt.withColumnRenamed("_where", "_path")
+            .join(anc, on=[*keys, "_path"])
             .select(*keys,
                     viol(INVALID, where=F.col("_path"),
-                         value=F.col("_subtree")).alias("_x"))
+                         value=F.to_json("_v")).alias("_x"))
             .select(*keys, "_x.*")
-        )
-        viols = viols.unionByName(carriers)
+        ))
+        _free(fids)
+        fr, fids = nxt, nids
+    for c in carrier_levels:
+        viols = viols.unionByName(c)
     return viols

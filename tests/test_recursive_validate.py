@@ -81,6 +81,31 @@ def test_recursive_max_depth_guard(spark):
                                 max_depth=5).count()
 
 
+def test_recursive_storage_and_plan_discipline(spark):
+    """r2 VERDICT #1: (a) no lingering persisted frontiers once the call
+    returns — clean corpora leave storage exactly as found; (b) a clean
+    corpus never computes subtree ``to_json`` (the carrier pass is skipped
+    entirely); (c) a problem corpus persists only the small per-level
+    violation/carrier frames, never the frontiers."""
+    jsc = spark.sparkContext._jsc
+
+    before = jsc.getPersistentRDDs().size()
+    out = _run(spark, [GOOD] * 5)
+    assert out.count() == 0
+    assert jsc.getPersistentRDDs().size() == before
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "to_json" not in plan
+
+    # problem corpus: result-sized localCheckpoints only (level-2
+    # violations + boundary-path set + two carrier levels for BAD = 4
+    # frames); lingering frontiers would add ~6 more (3 descent + 3
+    # carrier-pass levels)
+    before_bad = jsc.getPersistentRDDs().size()
+    assert _run(spark, [BAD]).count() == 6
+    growth = jsc.getPersistentRDDs().size() - before_bad
+    assert growth <= 4, f"unexpected persisted frames: {growth}"
+
+
 def test_recursive_malformed_and_nonarray_children(spark):
     docs = ['{broken', json.dumps({"name": "x", "children": "nope"})]
     rows = _run(spark, docs).collect()
