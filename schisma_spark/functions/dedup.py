@@ -18,7 +18,7 @@ stage has a DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from schisma_spark.functions.portable import bind, hash32, hash32_native
@@ -122,6 +122,30 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def cap_bucket_size(banded: DataFrame, key_cols: list[str], id_col: str,
+                    max_bucket_size: int | None) -> DataFrame:
+    """Hot-bucket guard for LSH self-joins (standard prod-ANN practice): a
+    degenerate bucket — boilerplate text, a near-constant embedding — makes
+    ONE task build O(b^2) pairs at 10^12 docs. Keep a deterministic
+    UNBIASED sample of ``max_bucket_size`` rows per bucket (row_number over
+    xxhash64 order, so the kept set is stable across runs and not
+    prefix-biased by id assignment). ``None`` disables the cap.
+
+    Plan shape: the row_number window shuffles on exactly the bucket key
+    the subsequent self-join uses, so AQE reuses the Exchange — the cap
+    costs one window pass, not an extra shuffle."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.xxhash64(*key_cols, id_col), F.col(id_col)
+    )
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups by normalized-text fingerprint:
     ``fp, n_dups, min_id`` for groups of size >= 2. Only (fp, id) shuffles."""
@@ -145,11 +169,13 @@ def minhash_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     hasher: str = "portable",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: ``id_a < id_b`` sharing >= 1 band.
     Shuffle = O(docs * bands) band keys; the pair join happens per band
-    bucket (skew-prone hot buckets are AQE's job; a degenerate all-equal
-    bucket means the data IS one near-dup class)."""
+    bucket. Moderate skew is AQE's job; a DEGENERATE bucket (the corpus is
+    one giant near-dup class) needs ``max_bucket_size`` — see
+    ``cap_bucket_size``."""
     rows = n_hashes // bands
     sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), n_hashes,
                             hasher=hasher)
@@ -157,6 +183,8 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("_id"),
         F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_idx", "band_hash"),
     )
+    banded = cap_bucket_size(banded, ["band_idx", "band_hash"], "_id",
+                             max_bucket_size)
     left = banded.select(
         F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_a")
     )
@@ -180,6 +208,7 @@ def minhash_near_dups(
     n_hashes: int = 16,
     bands: int = 4,
     hasher: str = "portable",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard verification on LSH
     candidates only: ``id_a, id_b, jac``.
@@ -190,7 +219,8 @@ def minhash_near_dups(
     doc — negligible), and the candidate-verify shuffle carries 4-byte ints
     instead of ~20-byte strings per shingle."""
     cands = minhash_candidate_pairs(df, text_col, id_col, shingle_k,
-                                    n_hashes, bands, hasher=hasher)
+                                    n_hashes, bands, hasher=hasher,
+                                    max_bucket_size=max_bucket_size)
     h32 = hash32_native if hasher == "native" else hash32
     # hash ONLY the docs that appear in a candidate pair: a semi-join
     # against the (small) candidate id set before the per-shingle hashing —

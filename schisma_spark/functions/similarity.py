@@ -114,6 +114,7 @@ def cosine_near_dups(
     n_tables: int = 8,
     n_planes: int = 6,
     round_to: int | None = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the dedup-mode twin of
     minhash_near_dups for vector columns): hyperplane-LSH bucketed
@@ -135,6 +136,12 @@ def cosine_near_dups(
         F.col(id_col).alias("_id"),
         F.posexplode(sigs).alias("table_id", "bucket"),
     )
+    # hot-bucket guard (near-constant embeddings collapse into one bucket
+    # and the self-join below goes O(b^2)) — deterministic unbiased sample
+    from schisma_spark.functions.dedup import cap_bucket_size
+
+    banded = cap_bucket_size(banded, ["table_id", "bucket"], "_id",
+                             max_bucket_size)
     a = banded.select("table_id", "bucket", F.col("_id").alias("id_a"))
     b = banded.select("table_id", "bucket", F.col("_id").alias("id_b"))
     cands = (
@@ -165,6 +172,7 @@ def lsh_ann_topk(
     n_tables: int = 8,
     n_planes: int = 4,
     round_to: int | None = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L
     independent tables of m planes each; a pair is a candidate when it
@@ -185,6 +193,13 @@ def lsh_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(sigs).alias("table_id", "bucket"),
     )
+    # hot-bucket guard on the TABLE side only (the probe side is small by
+    # construction); capping trades a sliver of recall in degenerate
+    # buckets for a bounded per-task pair count
+    from schisma_spark.functions.dedup import cap_bucket_size
+
+    base = cap_bucket_size(base, ["table_id", "bucket"], "neighbor_id",
+                           max_bucket_size)
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.posexplode(sigs).alias("table_id", "bucket"),
