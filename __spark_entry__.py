@@ -352,21 +352,59 @@ def q_conform_json_events(spark, sf):
     """conform_json round trip, fully oracle-able since the r2 typed
     re-serialization: output key order is deterministic (schema order, then
     kept dynamic keys) and scalars serialize typed. Plants every repair
-    path: uncastable value + junk key, malformed JSON, missing required
-    key, regex-kept dynamic key."""
+    path: NESTED-object repair (r3 — leaf coercion + nested junk removal +
+    nested missing-required insert, schisma.mjs:425-455), uncastable value
+    + junk key, malformed JSON, missing required key, regex-kept dynamic
+    key."""
     from schisma_spark.json_validate import conform_json
 
     eid = F.col("event_id")
     ev = _t(spark, sf, "events").select(
         "event_id",
-        F.when(eid % 9 == 0, F.lit('{"k": "bad", "zz": 1}'))
+        F.when(eid % 17 == 0,
+               F.lit('{"k":3,"nested":{"a":"5","junk":true}}'))
+        .when(eid % 9 == 0, F.lit('{"k": "bad", "zz": 1}'))
         .when(eid % 7 == 0, F.lit('{broken'))
         .when(eid % 11 == 0, F.lit('{}'))
         .when(eid % 13 == 0, F.lit('{"k": 2, "x_a": "qq"}'))
         .otherwise(F.col("props"))
         .alias("props"),
     )
-    sch = schema({"k": Field(type=float, default=-1.0), "$/^x_": [str]})
+    sch = schema({
+        "k": Field(type=float, default=-1.0),
+        "nested": Field(typeof=[{"a": float,
+                                 "b": Field(type=str, default="x")}],
+                        required=False),
+        "$/^x_": [str],
+    })
+    return conform_json(ev, "props", sch)
+
+
+def q_conform_variant_events(spark, sf):
+    """Variant-path conform (r3, the SchismaObject/Class conform branches,
+    schisma.mjs:456-487): a union field keeps whichever alternative its
+    VALUE matches per row — numbers stay typed numbers, strings stay
+    strings — while array elements conform per element and a shape that
+    matches no alternative coerces to the union's create() default. All
+    dispatch is runtime per-value (variant), not column-static."""
+    from schisma_spark.json_validate import conform_json
+
+    eid = F.col("event_id")
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(eid % 5 == 0, F.lit('{"v": "txt", "tags": [1, "a"]}'))
+        .when(eid % 7 == 0, F.lit('{"v": true}'))
+        .when(eid % 11 == 0, F.lit('{"v": {"x": 1}}'))  # -> String(obj):
+        # the union's String alternative carries it as JSON.stringify
+        # (schisma.mjs:591-596) — data kept over defaulting
+        .otherwise(F.format_string('{"v": %s}',
+                                   (eid % 100).cast("string")))
+        .alias("props"),
+    )
+    sch = schema({
+        "v": Field(typeof=[float, str]),
+        "tags": Field(typeof=[[str]], required=False),
+    })
     return conform_json(ev, "props", sch)
 
 
@@ -494,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_grouped": q_stats_grouped,
         "events_daily": q_events_daily,
         "conform_json_events": q_conform_json_events,
+        "conform_variant_events": q_conform_variant_events,
         "validate_variant_events": q_validate_variant_events,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
@@ -973,14 +1012,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "conform_json_events": """
             -- independent recomputation of every repair path; CASE order
-            -- mirrors the query's when-chain (9 -> 7 -> 11 -> 13 -> data)
+            -- mirrors the query's when-chain (17 -> 9 -> 7 -> 11 -> 13 ->
+            -- data). The %17 row certifies NESTED repair: a "5" coerced to
+            -- 5.0, junk removed, required b inserted with its default
             SELECT event_id,
-              CASE WHEN event_id % 9 = 0 THEN '{"k":-1.0}'   -- uncastable+junk
+              CASE WHEN event_id % 17 = 0
+                     THEN '{"k":3.0,"nested":{"a":5.0,"b":"x"}}'
+                   WHEN event_id % 9 = 0 THEN '{"k":-1.0}'   -- uncastable+junk
                    WHEN event_id % 7 = 0 THEN '{"k":-1.0}'   -- malformed
                    WHEN event_id % 11 = 0 THEN '{"k":-1.0}'  -- missing key
                    WHEN event_id % 13 = 0 THEN '{"k":2.0,"x_a":"qq"}'
                    ELSE '{"k":' ||
                         CAST(CAST(props->>'$.k' AS DOUBLE) AS VARCHAR) || '}'
+              END AS props
+            FROM events
+        """,
+        "conform_variant_events": """
+            -- per-value union dispatch, recomputed independently: %5 keeps
+            -- the STRING alternative + conforms array elements to str;
+            -- %7's boolean falls through Number to String('true'); %11's
+            -- object falls to String(obj) = JSON.stringify
+            -- (schisma.mjs:591-596); data rows keep Number (typed x.0)
+            SELECT event_id,
+              CASE WHEN event_id % 5 = 0 THEN '{"v":"txt","tags":["1","a"]}'
+                   WHEN event_id % 7 = 0 THEN '{"v":"true"}'
+                   WHEN event_id % 11 = 0
+                     THEN '{"v":' || to_json('{"x":1}')::varchar || '}'
+                   ELSE '{"v":' ||
+                        CAST(CAST(event_id % 100 AS DOUBLE) AS VARCHAR)
+                        || '}'
               END AS props
             FROM events
         """,

@@ -95,99 +95,176 @@ def conform_json(
     remove_unexpected: bool = True,
     insert_missing: bool = True,
 ) -> DataFrame:
-    """Repair a JSON string column in place: parse -> drop unexpected keys
-    (regex-matched keys kept, original value types preserved via VariantType),
-    insert required-key defaults, coerce fixed-key value types -> re-serialize
-    TYPED: numbers/booleans come back unquoted JSON values, exactly like the
-    malformed->``create()`` path (and like the reference, whose conform yields
-    real JS numbers — schisma.mjs:579-607). Output key order is deterministic:
-    fixed keys in schema order, then kept dynamic keys in input order.
-    The output column keeps its name AND position; malformed JSON is replaced
-    by the schema's create() JSON. One projection, JVM-side."""
+    """Repair a JSON string column in place, RECURSIVELY (r3): parse ->
+    drop unexpected keys at every nesting level (regex-matched keys kept,
+    value types preserved via VariantType), insert required-key defaults,
+    coerce value types, conform array elements -> re-serialize TYPED:
+    numbers/booleans come back unquoted JSON values, exactly like the
+    malformed->``create()`` path (and like the reference, whose conform
+    yields real JS values — schisma.mjs:579-607). Nested objects are
+    repaired by the same rules through the schema's static structure
+    (``_conformFromErrors`` recursion, schisma.mjs:425-455; goldens
+    test/complexObject.mjs:36-92); a present value whose shape matches no
+    alternative coerces to the child's ``create()`` default (NO_MATCH ->
+    ``create(conf, data)``, schisma.mjs:426-431). Output key order is
+    deterministic at every level: fixed keys in schema order, then kept
+    dynamic keys in input order. The output column keeps its name AND
+    position; malformed JSON is replaced by the schema's create() JSON.
+    One projection, JVM-side — recursion depth is the SCHEMA's (static),
+    never the data's."""
     import json as _json
 
     from schisma_spark import typeatoms as ta
     from schisma_spark.create import create_value
-    from schisma_spark.dsl import AtomAlt, _UNSET
+    from schisma_spark.dsl import ArrayAlt, AtomAlt, _UNSET
+    from schisma_spark.functions.portable import bind
 
     alt = sch.root.alts[0]
     if not isinstance(alt, ObjectAlt):
         raise TypeError("json schema root must be an object")
-    col = F.col(json_col)
-    # ONE parse: the variant map carries both the type-preserved values and
-    # (via a '$'-string extraction per fixed key) the stringly view the
-    # coercion table needs — an earlier version parsed the column twice
-    # (map<string,string> + map<string,variant>)
-    mv = F.from_json(col, "map<string,variant>")
 
-    frags: list[Column] = []
-    for k, child in alt.fields.items():
-        cur = F.try_variant_get(F.element_at(mv, F.lit(k)), "$", "string")
-        key_lit = _json.dumps(k) + ":"
-        atoms = [a.atom for a in child.alts
-                 if isinstance(a, AtomAlt) and a.atom is not ta.NULL]
-        dflt = create_value(child, _UNSET)
-        dflt_frag = (
-            F.lit(key_lit + _json.dumps(dflt, separators=(",", ":")))
-            if (child.required and insert_missing) else F.lit(None).cast("string")
-        )
-        if atoms:
-            # try every atom alternative in order (union fields keep values
-            # any alternative accepts), rendering TYPED; none accepts ->
-            # default (Number('abc') -> NaN -> default, schisma.mjs:579-584)
-            cands = []
-            for a in atoms:
-                if a is ta.STRING:
-                    cands.append(F.concat(F.lit(key_lit), _json_scalar(cur)))
+    def _dumps(v) -> str:
+        return _json.dumps(v, separators=(",", ":"))
+
+    def _atom_value(kv: Column, atoms: list, dflt) -> Column:
+        """Typed JSON text via the coercion chain: each atom alternative in
+        order, none-accepts -> default (Number('abc') -> NaN -> default,
+        schisma.mjs:579-584). NULL when the value isn't scalar-extractable
+        (object/array) or the ``$``-extraction is NULL."""
+        cur = F.try_variant_get(kv, "$", "string")
+        cands: list[Column] = []
+        for a in atoms:
+            if a is ta.STRING:
+                cands.append(_json_scalar(cur))
+            else:
+                cv = cur.try_cast(a.spark_type)
+                cands.append(F.when(cv.isNotNull(), _json_scalar(cv)))
+        fallback = (F.lit(_dumps(dflt)) if dflt is not None
+                    else F.lit(None).cast("string"))
+        return F.when(cur.isNotNull(), F.coalesce(*cands, fallback))
+
+    def _render_value(kv: Column, node: Node) -> Column:
+        """Conformed JSON text of a PRESENT variant value under ``node``;
+        NULL means no alternative could render it (caller coerces to the
+        node's create() default). Alternatives resolve by the value's
+        runtime shape — object/array branches first (shape-gated), the
+        atom chain last — mirroring the reference's per-typeof union
+        dispatch (schisma.mjs:337,456-487)."""
+        branches: list[Column] = []
+        atoms: list = []
+        for a in node.alts:
+            if isinstance(a, Node):
+                branches.append(_render_value(kv, a))
+            elif isinstance(a, ObjectAlt):
+                # variant paths must be foldable, so nested key sets go
+                # through one to_json/from_json round trip (the
+                # variant_validate.py:265 pattern); bind() so the map is
+                # computed once per node, not once per field reference
+                nested = F.from_json(F.to_json(kv), "map<string,variant>")
+
+                def _obj_branch(oa):
+                    # one-arg lambda for bind(): a default-arg capture
+                    # would give the lambda arity 2 and transform() would
+                    # pass the element INDEX as the second argument
+                    return lambda m: F.when(
+                        m.isNotNull(),
+                        F.concat(F.lit("{"), _obj_body(m, oa), F.lit("}")),
+                    )
+
+                branches.append(bind(nested, _obj_branch(a)))
+            elif isinstance(a, ArrayAlt):
+                arr = F.try_variant_get(kv, "$", "array<variant>")
+                if a.elems:
+                    elem = a.elems[0]
+                    elem_dflt = create_value(elem, _UNSET)
+                    elem_fb = (F.lit(_dumps(elem_dflt))
+                               if elem_dflt is not None
+                               else F.lit("null"))
+
+                    def _elem_fn(el, fb):
+                        # element conform: render under the element schema,
+                        # unrenderable -> element default
+                        # (schisma.mjs:488-514). One-arg lambda (see
+                        # _obj_branch note).
+                        return lambda e: F.coalesce(_render_value(e, el),
+                                                    fb)
+
+                    _elem = _elem_fn(elem, elem_fb)
                 else:
-                    cv = cur.try_cast(a.spark_type)
-                    cands.append(F.when(cv.isNotNull(),
-                                        F.concat(F.lit(key_lit),
-                                                 _json_scalar(cv))))
-            present = F.coalesce(
-                *cands,
-                F.lit(key_lit + _json.dumps(dflt, separators=(",", ":")))
-                if dflt is not None else F.lit(None).cast("string"),
+                    def _elem(e: Column):
+                        return F.to_json(e)  # [] schema: elements untyped
+                branches.append(F.when(
+                    arr.isNotNull(),
+                    # null_replacement: a JSON null element renders as
+                    # "null" — array_join SKIPS SQL-NULL elements otherwise
+                    F.concat(F.lit("["),
+                             F.array_join(F.transform(arr, _elem), ",",
+                                          "null"),
+                             F.lit("]")),
+                ))
+            elif isinstance(a, AtomAlt) and a.atom is not ta.NULL:
+                atoms.append(a.atom)
+        if atoms:
+            branches.append(_atom_value(kv, atoms,
+                                        create_value(node, _UNSET)))
+        if not branches:
+            return F.to_json(kv)  # unconstrained node: passthrough
+        return F.coalesce(*branches)
+
+    def _obj_body(mv: Column, oalt: ObjectAlt) -> Column:
+        """'k:v,k2:v2' body text for one object level (no braces)."""
+        frags: list[Column] = []
+        for k, child in oalt.fields.items():
+            key_lit = _json.dumps(k) + ":"
+            dflt = create_value(child, _UNSET)
+            dflt_frag = (
+                F.lit(key_lit + _dumps(dflt))
+                if (child.required and insert_missing)
+                else F.lit(None).cast("string")
             )
-            frags.append(F.when(cur.isNotNull(), present).otherwise(dflt_frag))
-        else:
-            # object/array/composite child: embed the original value's JSON
-            # untouched (variant round-trip; fixes the old re-quote of
-            # nested objects through map<string,string>). Presence gates on
-            # the filtered-map rendering, NOT on `cur` — the '$'-string
-            # extraction of an object/array variant is NULL even when the
-            # key is present
-            one = F.to_json(F.map_filter(mv, lambda k2, _v: k2 == F.lit(k)))
-            frags.append(F.when(
-                F.length(one) > 2,
-                one.substr(F.lit(2), F.length(one) - F.lit(2)),
-            ).otherwise(dflt_frag))
+            # present-but-unrenderable (shape matches no alternative):
+            # coerce to the child's create() (schisma.mjs:426-431)
+            coerce_frag = (F.lit(key_lit + _dumps(dflt))
+                           if dflt is not None
+                           else F.lit(None).cast("string"))
+            kv = F.element_at(mv, F.lit(k))
+            rendered = _render_value(kv, child)
+            frags.append(
+                F.when(kv.isNull(), dflt_frag)
+                .when(rendered.isNotNull(),
+                      F.concat(F.lit(key_lit), rendered))
+                .otherwise(coerce_frag)
+            )
 
-    # dynamic keys: keep regex-matched (or everything when
-    # remove_unexpected=False), values type-preserved through variant
-    fixed_keys = list(alt.fields)
-    pats = [p for p, _ in alt.regex]
+        # dynamic keys: keep regex-matched (or everything when
+        # remove_unexpected=False), values type-preserved through variant
+        fixed_keys = list(oalt.fields)
+        pats = [p for p, _ in oalt.regex]
 
-    def _dyn_keep(k2: Column, _v: Column) -> Column:
-        cond = ~k2.isin(*fixed_keys) if fixed_keys else F.lit(True)
-        if remove_unexpected:
-            pat_ok = F.lit(False)
-            for p in pats:
-                pat_ok = pat_ok | k2.rlike(p)
-            cond = cond & pat_ok
-        return cond
+        def _dyn_keep(k2: Column, _v: Column) -> Column:
+            cond = ~k2.isin(*fixed_keys) if fixed_keys else F.lit(True)
+            if remove_unexpected:
+                pat_ok = F.lit(False)
+                for p in pats:
+                    pat_ok = pat_ok | k2.rlike(p)
+                cond = cond & pat_ok
+            return cond
 
-    dyn = F.to_json(F.map_filter(mv, _dyn_keep))
-    frags.append(F.when(F.length(dyn) > 2,
-                        dyn.substr(F.lit(2), F.length(dyn) - F.lit(2))))
+        dyn = F.to_json(F.map_filter(mv, _dyn_keep))
+        frags.append(F.when(F.length(dyn) > 2,
+                            dyn.substr(F.lit(2), F.length(dyn) - F.lit(2))))
+        return F.array_join(
+            F.filter(F.array(*frags), lambda x: x.isNotNull()), ","
+        )
 
-    body = F.array_join(
-        F.filter(F.array(*frags), lambda x: x.isNotNull()), ","
-    )
-    default_json = _json.dumps(
+    col = F.col(json_col)
+    # ONE parse of the column: the variant map carries type-preserved
+    # values; nested levels re-view their subtree as map<string,variant>
+    mv = F.from_json(col, "map<string,variant>")
+    body = bind(mv, lambda m: _obj_body(m, alt))
+    default_json = _dumps(
         {k: create_value(v, _UNSET) for k, v in alt.fields.items()
          if v.required},
-        separators=(",", ":"),
     )
     out = (
         F.when(col.isNull(), F.lit(None).cast("string"))

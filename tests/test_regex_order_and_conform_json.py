@@ -92,3 +92,36 @@ def test_conform_json_composite_children_preserved(spark):
            for r in conform_json(df, "p", sch).collect()}
     assert out[1] == {"k": 1.0, "o": {"n": 2}, "a": [1, "x", None]}
     assert out[2] == {"k": 1.0, "o": {}}  # required o inserted, optional a omitted
+
+
+def test_conform_json_recursive_nested_repair(spark):
+    """r2 VERDICT #4 — nested JSON objects are REPAIRED, not embedded
+    untouched: the reference's conform recursion (schisma.mjs:425-455),
+    goldens ported from test/complexObject.mjs:36-92 (complexSchema =
+    {a: Number, b: {bA: String, bB: [Boolean]}, c: [{cA: Number}]})."""
+    sch = schema({
+        "a": float,
+        "b": {"bA": str, "bB": [bool]},
+        "c": [{"cA": float}],
+    })
+    df = spark.createDataFrame([
+        # missing nested key -> inserted with default
+        Row(id=1, p='{"a":1,"b":{"bB":[true]},"c":[]}'),
+        # unexpected nested key -> removed; array-element leaf coerced
+        Row(id=2, p='{"a":0,"b":{"bA":"x","bB":[false],"zz":9},'
+                    '"c":[{"cA":"2"}]}'),
+        # wrong-typed nested leaves -> coerced (String(5), Boolean(1))
+        Row(id=3, p='{"a":0,"b":{"bA":5,"bB":[1]},"c":[]}'),
+        # entire nested object missing -> create() default
+        Row(id=4, p='{"a":0,"c":[]}'),
+        # scalar where object expected -> NO_MATCH create() coercion
+        Row(id=5, p='{"a":0,"b":7,"c":[]}'),
+    ])
+    out = {r["id"]: json.loads(r["p"])
+           for r in conform_json(df, "p", sch).collect()}
+    assert out[1] == {"a": 1.0, "b": {"bA": "", "bB": [True]}, "c": []}
+    assert out[2] == {"a": 0.0, "b": {"bA": "x", "bB": [False]},
+                      "c": [{"cA": 2.0}]}
+    assert out[3] == {"a": 0.0, "b": {"bA": "5", "bB": [True]}, "c": []}
+    assert out[4] == {"a": 0.0, "b": {"bA": "", "bB": []}, "c": []}
+    assert out[5] == {"a": 0.0, "b": {"bA": "", "bB": []}, "c": []}
