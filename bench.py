@@ -36,19 +36,38 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def ensure_images(spark, n: int) -> str:
-    path = os.path.join(CACHE, f"images_{n}")
+    # Layout for pruned-slice decode (r2 VERDICT #5): CPUS*8 slices
+    # (~13 MB single-row-group files) hive-partitioned by a contiguous
+    # range16 column. Row-group predicate pruning still SCHEDULES a task
+    # per skipped file, and an empty mapInPandas task costs a ~10 ms
+    # Python-worker round trip — 192 empty tasks ate half the quarter
+    # slice's throughput. Partition-directory pruning removes those tasks
+    # at PLAN time (the standard 100-TB layout: organize by the pruning
+    # key), so a quarter slice plans exactly its own 64 files.
+    slices = CPUS * 8
+    path = os.path.join(CACHE, f"images_{n}_s{slices}_p16")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from schisma_spark.image.fixtures import images_table
 
-        images_table(spark, n, seed=42, slices=CPUS * 2).write.mode(
-            "overwrite"
-        ).parquet(path)
+        # try_cast: planted violations include null and non-numeric ids
+        # ("img-hotkey-..."); those land in range 0 (coalesce)
+        rng = F.floor(
+            F.substring("image_id", 5, 12).try_cast("long") / (n // 16)
+        ).cast("int")
+        (images_table(spark, n, seed=42, slices=slices)
+         .withColumn("range16", F.coalesce(rng, F.lit(0)))
+         .write.mode("overwrite").partitionBy("range16").parquet(path))
     return path
 
 
 def main():
+    # 16 MB splits: stops FilePartition packing from binning several ~13 MB
+    # image files into one 128 MB split (which would starve cores on pruned
+    # slices); payload rows parallelize via file splits, never a shuffle
     spark = build_session(app="schisma-bench", master=f"local[{CPUS}]",
-                          arrow_batch_rows=4096)
+                          arrow_batch_rows=4096,
+                          extra={"spark.sql.files.maxPartitionBytes":
+                                 str(16 * 1024 * 1024)})
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}
 
@@ -121,13 +140,14 @@ def main():
     )
     # throughput-stability rows (r1 VERDICT #10): the same two headline
     # paths at another scale point, so rows/s can be compared across a 4x
-    # size step before the 100x story. Decode: a filter-pruned quarter
-    # slice (predicate pushes to the scan; no shuffle, natural splits).
+    # size step before the 100x story. Decode: a PARTITION-pruned quarter
+    # slice (range16 < 4 prunes directories at plan time — no tasks for
+    # skipped files, no shuffle, natural splits).
     n_q = N_IMAGES // 4
     timed(
         "image_decode_psnr_quarter",
         lambda: decode_validate(
-            imgs.where(F.col("image_id") < "img-%012d" % n_q))
+            imgs.where(F.col("range16") < 4))
         .agg(F.sum(F.col("decode_ok").cast("long"))).collect(),
         rows=n_q,
     )
@@ -215,6 +235,19 @@ def main():
         rows = li_rows if "lineitem" in name or name in (
             "dups_partkey", "hist_quantity", "drift_ks_quantity") else None
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect(), rows=rows)
+
+    # production-hasher end-to-end near-dups (r2 VERDICT #3): the flagship
+    # dedup pipeline with hasher='native' (masked xxhash64, fully
+    # code-generated — no md5 hex round-trip). Same params as the oracle
+    # row above; the oracle row itself stays on the portable hasher.
+    from schisma_spark.functions.dedup import minhash_near_dups as _mnd
+
+    docs_sf = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed(
+        "minhash_near_dups_native",
+        lambda: _mnd(docs_sf, "text", "doc_id", threshold=0.2,
+                     n_hashes=16, bands=4, hasher="native").collect(),
+    )
 
     total = round(sum(timings.values()), 3)
     out = {

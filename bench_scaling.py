@@ -178,8 +178,14 @@ def main():
     n_images = int(os.environ.get("BENCH_IMAGE_ROWS", "2000000"))
     n_meta = int(os.environ.get("BENCH_META_ROWS", "160000000"))
     n_decode = int(os.environ.get("BENCH_DECODE_ROWS", "500000"))
-    img_path = os.path.join(HERE, ".bench_cache", f"images_{n_images}")
-    if not os.path.exists(os.path.join(img_path, "_SUCCESS")):
+    # bench.py names the cache by layout (r3: CPUS*8 files, hive range16
+    # partitions so pruned slices plan only their own files); accept any
+    for suffix in ("_s256_p16", "_s256", ""):
+        img_path = os.path.join(HERE, ".bench_cache",
+                                f"images_{n_images}{suffix}")
+        if os.path.exists(os.path.join(img_path, "_SUCCESS")):
+            break
+    else:
         raise SystemExit("run bench.py first to build the image cache")
     meta_path = ensure_meta(n_meta)
 
