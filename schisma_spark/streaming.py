@@ -11,6 +11,10 @@ projection applied per micro-batch:
   drift-over-time on an event-time column — late rows beyond the watermark
   are dropped by Spark's state store, which is the correct semantics for a
   monitoring sketch
+- ``stateful_exact_dedup_stream``: CROSS-batch exact dedup via
+  ``applyInPandasWithState`` — the custom-stateful-operator path (north
+  brief): O(1) keyed state per distinct fingerprint, survives restarts
+  through the checkpoint
 """
 
 from __future__ import annotations
@@ -107,6 +111,78 @@ def windowed_drift_stream(
             F.col("win.end").alias("win_end"),
             "bin",
             "cnt",
+        )
+    )
+
+
+def stateful_exact_dedup_stream(
+    stream_df: DataFrame,
+    fp_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-micro-batch exact deduplication — the streaming twin of
+    ``functions.dedup.exact_dup_groups`` as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``).
+
+    Per fingerprint the state store keeps ``(first_id, n_seen)`` — a few
+    dozen bytes regardless of how many duplicates arrive, unlike
+    ``dropDuplicates`` + join gymnastics. Every batch in which a
+    fingerprint appears emits an updated ``fp, first_id, n_dupes, is_new``
+    row (update output mode): ``is_new`` marks the batch that saw the
+    fingerprint first, ``first_id`` is pinned to the smallest id of that
+    first batch (deterministic), ``n_dupes`` is the lifetime count. State
+    lives in the checkpoint, so a restarted query keeps recognizing
+    duplicates of keys seen before the restart.
+
+    Scale shape: one shuffle on ``fp`` per batch (the stateful exchange);
+    state size = O(distinct fingerprints), the same footprint the batch
+    fingerprint aggregate would carry per run, but amortized across the
+    stream's lifetime.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("fp", T.LongType()),
+        T.StructField("first_id", T.StringType()),
+        T.StructField("n_dupes", T.LongType()),
+        T.StructField("is_new", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("first_id", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n_batch = 0
+        batch_min = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_batch += len(pdf)
+            m = pdf[id_col].astype(str).min()
+            batch_min = m if batch_min is None else min(batch_min, m)
+        if n_batch == 0:
+            return
+        if state.exists:
+            first_id, n_seen = state.get
+            is_new = False
+        else:
+            first_id, n_seen = batch_min, 0
+            is_new = True
+        n_seen += n_batch
+        state.update((first_id, n_seen))
+        yield pd.DataFrame({
+            "fp": [key[0]], "first_id": [first_id],
+            "n_dupes": [n_seen], "is_new": [is_new],
+        })
+
+    return (
+        stream_df.select(F.col(fp_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
         )
     )
 

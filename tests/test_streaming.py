@@ -108,3 +108,47 @@ def test_windowed_kll_stream(spark, tmp_path):
     base = kll_sketch(df, "v")
     ks = ks_from_sketches(wins.limit(1).select("sketch"), base).collect()
     assert 0.0 <= ks[0]["ks"] <= 1.0
+
+
+def test_stateful_exact_dedup_stream(spark, tmp_path):
+    """r3: custom stateful operator (applyInPandasWithState) — cross-batch
+    exact dedup whose keyed state survives a query restart through the
+    checkpoint."""
+    from schisma_spark.streaming import stateful_exact_dedup_stream
+
+    inp = str(tmp_path / "dd_in")
+    ck = str(tmp_path / "dd_ck")
+    spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "b1")], "fp long, id string"
+    ).write.mode("overwrite").parquet(inp)
+
+    def run(name):
+        # foreachBatch sink: unlike the memory sink it supports resuming
+        # from the checkpoint, which is the point of this test
+        rows = []
+        stream = spark.readStream.schema("fp long, id string").parquet(inp)
+        out = stateful_exact_dedup_stream(stream, "fp", "id")
+        q = (
+            out.writeStream
+            .foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+            .outputMode("update").trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination(120)
+        return {r["fp"]: r for r in rows}
+
+    r1 = run("dd1")
+    assert r1[1]["is_new"] and r1[1]["n_dupes"] == 2
+    assert r1[1]["first_id"] == "a1"
+    assert r1[2]["is_new"] and r1[2]["n_dupes"] == 1
+
+    # later drop: a duplicate of fp=1 plus a brand-new fp=3; the restarted
+    # query recovers its state from the checkpoint and recognizes the dup
+    spark.createDataFrame(
+        [(1, "a3"), (3, "c1")], "fp long, id string"
+    ).write.mode("append").parquet(inp)
+    r2 = run("dd2")
+    assert not r2[1]["is_new"] and r2[1]["n_dupes"] == 3
+    assert r2[1]["first_id"] == "a1"   # pinned at first sight
+    assert r2[3]["is_new"] and r2[3]["n_dupes"] == 1
+    assert 2 not in r2                 # no new occurrences -> no emission
