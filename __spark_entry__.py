@@ -484,6 +484,22 @@ def q_lsh_ann_recall(spark, sf):
     )
 
 
+def q_ivf_ann_topk(spark, sf):
+    """IVF-flat ANN (r3): the inverted-file twin of the LSH scale path —
+    deterministic sampled codebook (16 lowest-id vectors among
+    vec_id%13==0), nearest-cell assignment, probes search their 4 nearest
+    cells, exact cosine ranks candidates. Fully oracle-able: DuckDB
+    recomputes the same codebook/assignment from the same sample rule."""
+    from schisma_spark.functions.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    out = ivf_ann_topk(emb, probes, "vec_id", "embedding", dim=64, k=5,
+                       n_centroids=16, n_probe=4)
+    return out.select("probe_id", "neighbor_id", "cos",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_cosine_near_dups(spark, sf):
     """Embedding-cosine near-dup pairs (similarity.cosine_near_dups):
     hyperplane-LSH bucketed self-join + exact cosine verify, over the
@@ -535,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conform_variant_events": q_conform_variant_events,
         "validate_variant_events": q_validate_variant_events,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
         "cosine_near_dups": q_cosine_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1063,6 +1080,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": near_dups_sql,
         "lsh_ann_topk": lsh_topk_sql,
+        "ivf_ann_topk": """
+            -- independent IVF recomputation: same deterministic codebook
+            -- rule (16 lowest-id vectors with vec_id%13=0, index c in id
+            -- order), same rounded-cosine argmax assignment with
+            -- lowest-index tie-break, probes take their 4 nearest cells
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS c, v AS cv
+              FROM e WHERE vec_id % 13 = 0 ORDER BY vec_id LIMIT 16
+            ),
+            asg AS (
+              SELECT vec_id, c AS cell FROM (
+                SELECT e.vec_id, cents.c,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v, cents.cv),
+                                   6) DESC, cents.c) AS rn
+                FROM e CROSS JOIN cents
+              ) WHERE rn = 1
+            ),
+            pc AS (
+              SELECT probe_id, cell FROM (
+                SELECT p.vec_id AS probe_id, cents.c AS cell,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY round(list_cosine_similarity(p.v, cents.cv),
+                                   6) DESC, cents.c) AS rn
+                FROM (SELECT * FROM e WHERE vec_id % 50 = 0) p
+                CROSS JOIN cents
+              ) WHERE rn <= 4
+            )
+            SELECT probe_id, neighbor_id, cos, rank FROM (
+              SELECT pc.probe_id, a.vec_id AS neighbor_id,
+                round(list_cosine_similarity(pe.embedding::DOUBLE[],
+                                             ne.embedding::DOUBLE[]), 6)
+                  AS cos,
+                (row_number() OVER (PARTITION BY pc.probe_id ORDER BY
+                  round(list_cosine_similarity(pe.embedding::DOUBLE[],
+                                               ne.embedding::DOUBLE[]), 6)
+                    DESC, a.vec_id))::int AS rank
+              FROM pc JOIN asg a USING (cell)
+              JOIN embeddings pe ON pe.vec_id = pc.probe_id
+              JOIN embeddings ne ON ne.vec_id = a.vec_id
+              WHERE pc.probe_id != a.vec_id
+            ) WHERE rank <= 5
+        """,
         "lsh_ann_recall": lsh_recall_sql,
         "cosine_near_dups": cosine_nd_sql,
     }

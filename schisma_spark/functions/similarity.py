@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from schisma_spark.functions.portable import bind
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -159,6 +161,92 @@ def cosine_near_dups(
         cands.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
+    )
+
+
+def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
+                  n_centroids: int = 16, sample_mod: int = 13) -> list:
+    """Deterministic IVF-flat centroids: the ``n_centroids`` lowest-id
+    vectors among ``id % sample_mod == 0``. A k-means refinement is
+    deliberately omitted — a deterministic sampled codebook is the cheap
+    standard bootstrap, reproducible on the oracle side, and the driver
+    collect is bounded at ``n_centroids`` rows by construction."""
+    rows = (
+        df.where(F.col(id_col) % sample_mod == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 13,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k — the inverted-file twin of the LSH scale
+    path: every vector is assigned to its nearest centroid CELL (argmax
+    rounded cosine, ties to the lowest centroid index), probes search only
+    their ``n_probe`` nearest cells, exact cosine ranks the candidates.
+
+    Scale shape: assignment is one projection against a broadcast-literal
+    codebook (no shuffle); the probe-cell join shuffles O(probes*n_probe)
+    + O(N) cell keys, never O(N*Q); unlike multi-table LSH each vector
+    lives in exactly ONE cell, so candidate pairs are unique by
+    construction — no distinct() pass. Recall tunes with
+    n_probe/n_centroids instead of tables*planes."""
+    del dim  # the codebook fixes the dimensionality
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids, sample_mod)
+
+    def cos_to(c):
+        return F.round(cosine_sim(F.col(vec_col), F.lit(c)), round_to)
+
+    cell = bind(
+        F.array(*[cos_to(c) for c in cents]),
+        lambda ca: F.array_position(ca, F.array_max(ca)).cast("int"),
+    )
+    # probe side: n_probe nearest cells via lexicographic struct sort
+    # (-cos asc == cos desc, then centroid index asc — same tie-break as
+    # the assignment argmax)
+    probe_cells = F.slice(
+        F.array_sort(F.array(*[
+            F.struct((-cos_to(c)).alias("nc"),
+                     F.lit(j + 1).alias("c"))
+            for j, c in enumerate(cents)
+        ])),
+        1, n_probe,
+    )
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        cell.alias("cell"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        F.explode(F.transform(probe_cells, lambda x: x["c"])).alias("cell"),
+    )
+    cos = F.round(cosine_sim(F.col("_pv"), F.col("_nv")), round_to)
+    scored = (
+        p.join(base, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 

@@ -238,3 +238,36 @@ def test_cosine_near_dups_hot_bucket_cap(spark):
                            n_tables=4, n_planes=3, max_bucket_size=5)
     # <= C(5,2) pairs per table, deduped union across 4 tables
     assert 0 < out.count() <= 4 * 10
+
+
+def test_ivf_ann_probe_all_equals_brute_force(spark):
+    """IVF-flat sharp property: probing ALL cells searches every candidate,
+    so the result must equal exact brute force (same rounding/tie-break) —
+    the partition into cells loses nothing, only the probe cut does."""
+    from schisma_spark.functions.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    ivf = ivf_ann_topk(emb, probes, "vec_id", "embedding", dim=64, k=5,
+                       n_centroids=8, n_probe=8)
+    bf = brute_force_topk(emb, probes, "vec_id", "embedding", k=5)
+    cols = ["probe_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, ivf.select(*cols).collect())) == \
+        sorted(map(tuple, bf.select(*cols).collect()))
+
+
+def test_ivf_ann_recall_reasonable(spark):
+    """At n_probe=4/16 the probe cut keeps useful recall vs brute force."""
+    from schisma_spark.functions.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    ivf = set(map(tuple, ivf_ann_topk(
+        emb, probes, "vec_id", "embedding", dim=64, k=5,
+        n_centroids=16, n_probe=4,
+    ).select("probe_id", "neighbor_id").collect()))
+    bf = list(map(tuple, brute_force_topk(
+        emb, probes, "vec_id", "embedding", k=5,
+    ).select("probe_id", "neighbor_id").collect()))
+    recall = sum(1 for t in bf if t in ivf) / len(bf)
+    assert recall >= 0.3, recall
