@@ -1,0 +1,90 @@
+"""LIVE reference-run parity: execute the actual reference engine
+(node, /root/reference/src/schisma.mjs) on nested-conform inputs and
+compare against ``conform_json`` — not hand-derived goldens.
+
+Known, documented divergence folded out by the comparison: the engine
+serializes Number-typed values as JSON doubles (``2.0``) while JS keeps
+integral numbers integral (``2``); Python ``==`` on parsed JSON treats
+``2 == 2.0``, so the structural compare is exact up to that formatting.
+
+One case is asserted as a REFERENCE CRASH: conforming an element inside
+an array-of-objects throws ``TypeError ... _conformFromErrors`` in the
+reference (schisma.mjs:469-471 indexes ``$typeof[0].$typeof[idx][0]``
+with the wrong index shape) — the engine repairs it; no parity target
+exists, so the engine's behavior is its own documented semantics.
+
+Skipped when node is unavailable.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+
+import pytest
+from pyspark.sql import Row
+
+from schisma_spark import schema
+from schisma_spark.json_validate import conform_json
+
+REF = "/root/reference/src/schisma.mjs"
+
+# complexObject.mjs:4-17 shape
+NODE_SCRIPT = """
+import(%r).then(m => {
+  const schisma = m.default
+  const sch = schisma({
+    a: Number,
+    b: { bA: String, bB: [Boolean] },
+    c: [ { cA: Number } ],
+  })
+  const inputs = %s
+  for (const o of inputs) {
+    try { console.log(JSON.stringify(sch.conform(o))) }
+    catch (e) { console.log("CRASH " + e) }
+  }
+})
+"""
+
+INPUTS = [
+    # missing nested key
+    {"a": 1, "b": {"bB": [True]}, "c": []},
+    # unexpected nested key removed
+    {"a": 0, "b": {"bA": "x", "bB": [False], "zz": 9}, "c": []},
+    # wrong-typed nested leaves (String(5), Boolean(1))
+    {"a": 0, "b": {"bA": 5, "bB": [1]}, "c": []},
+    # entire nested object missing
+    {"a": 0, "c": []},
+    # array-of-objects element conform: REFERENCE CRASHES here
+    {"a": 0, "b": {"bA": "x", "bB": [False]}, "c": [{"cA": "2"}]},
+]
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_conform_json_matches_live_reference_run(spark):
+    script = NODE_SCRIPT % (REF, json.dumps(INPUTS))
+    out = subprocess.run(["node", "-e", script], capture_output=True,
+                         text=True, timeout=60, check=True)
+    ref_lines = out.stdout.strip().splitlines()
+    assert len(ref_lines) == len(INPUTS)
+
+    sch = schema({
+        "a": float,
+        "b": {"bA": str, "bB": [bool]},
+        "c": [{"cA": float}],
+    })
+    df = spark.createDataFrame(
+        [Row(id=i, p=json.dumps(o)) for i, o in enumerate(INPUTS)]
+    )
+    got = {r["id"]: json.loads(r["p"])
+           for r in conform_json(df, "p", sch).collect()}
+
+    for i, line in enumerate(ref_lines[:4]):
+        ref = json.loads(line)
+        assert got[i] == ref, f"input {i}: engine={got[i]} reference={ref}"
+
+    # the array-element case: reference crashes, engine repairs
+    assert ref_lines[4].startswith("CRASH TypeError")
+    assert got[4] == {"a": 0.0, "b": {"bA": "x", "bB": [False]},
+                      "c": [{"cA": 2.0}]}
