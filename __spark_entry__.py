@@ -44,6 +44,9 @@ from schisma_spark.functions.text import (
 )
 
 
+from schisma_spark.sources import fan_out
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -264,6 +267,7 @@ def q_validate_json_events(spark, sf):
         .otherwise(F.col("props"))
         .alias("payload"),
     )
+    ev = fan_out(ev)
     sch = schema({"k": float})
     res = validate_json(ev, "payload", sch, keys=["event_id"])
     return res.violations.select("event_id", "code",
@@ -284,6 +288,7 @@ def q_validate_variant_events(spark, sf):
         .otherwise(F.col("props"))
         .alias("payload"),
     )
+    ev = fan_out(ev)
     from schisma_spark import Field as _Field
     from schisma_spark.dsl import Null as _Null
 
@@ -370,6 +375,7 @@ def q_conform_json_events(spark, sf):
         .otherwise(F.col("props"))
         .alias("props"),
     )
+    ev = fan_out(ev)
     sch = schema({
         "k": Field(type=float, default=-1.0),
         "nested": Field(typeof=[{"a": float,
@@ -401,6 +407,7 @@ def q_conform_variant_events(spark, sf):
                                    (eid % 100).cast("string")))
         .alias("props"),
     )
+    ev = fan_out(ev)
     sch = schema({
         "v": Field(typeof=[float, str]),
         "tags": Field(typeof=[[str]], required=False),
@@ -422,8 +429,8 @@ def q_recursive_validate(spark, sf):
         F.when(k % 3 == 0, k.cast("string")).otherwise(F.lit('"c"')),
     )
     v = validate_json_recursive(
-        ev.select("event_id", doc.alias("doc")), "doc", {"name": str},
-        keys=["event_id"],
+        fan_out(ev.select("event_id", doc.alias("doc"))), "doc",
+        {"name": str}, keys=["event_id"],
     )
     return v.select("event_id", "code", F.col("where").alias("loc"))
 

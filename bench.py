@@ -230,6 +230,8 @@ def main():
         "verdicts_lineitem", "stats_lineitem", "dups_partkey",
         "hist_quantity", "drift_ks_quantity", "conform_events",
         "text_stats", "minhash_near_dups", "ann_topk",
+        "lsh_ann_topk", "ivf_ann_topk", "conform_json_events",
+        "validate_variant_events", "recursive_validate",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

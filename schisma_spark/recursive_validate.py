@@ -156,12 +156,16 @@ def validate_json_recursive(
     def materialize(lazy: DataFrame) -> DataFrame:
         """Force a small RESULT frame (violations / carriers / boundary
         paths) with its lineage cut; these are output-sized and stay
-        cached — they ARE the return value. A zero-row level returns a
-        lineage-free empty instead (nothing retained, nothing
-        re-scanned)."""
-        if lazy.isEmpty():
+        cached — they ARE the return value. Checkpoint FIRST, then test
+        emptiness on the cheap checkpointed data (isEmpty on the lazy
+        frame would evaluate the whole check expression a second time);
+        a zero-row level frees its blocks deterministically and returns a
+        lineage-free empty (nothing retained, nothing re-scanned)."""
+        ck, ids = _ckpt(lazy)
+        if ck.isEmpty():
+            _free(ids)
             return spark.createDataFrame([], lazy.schema)
-        return lazy.localCheckpoint(eager=True)
+        return ck
 
     frontier, fids = _ckpt(root_frontier(df))
     level_viols: list[DataFrame] = [malformed]

@@ -63,6 +63,21 @@ def read_table(spark: SparkSession, ref: str, fmt: str = "auto",
     return spark.read.parquet(ref)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Guard expression-heavy narrow pipelines against a too-coarse scan.
+
+    A small input (one parquet file, one row group) plans ONE task, so a
+    shuffle-free pipeline — however expensive per row — runs on ONE core:
+    the sf0.1 variant-validation query spent 22 s on a 100k-row file this
+    way (measured; 32 cores idle). When the scan has fewer partitions than
+    the session's parallelism, repartition narrow rows up to it; at real
+    scale (splits >> cores) this is a structural no-op. Never use on fat
+    binary payload rows — those parallelize via file splits
+    (CLAUDE.md)."""
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def write_table(df: DataFrame, ref: str, fmt: str = "auto",
                 mode: str = "append", partition_by: list[str] | None = None,
                 bucket_by: tuple[int, list[str]] | None = None):

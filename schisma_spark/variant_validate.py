@@ -225,9 +225,7 @@ def _check_variant_object(alt: ObjectAlt, idx, kv: Column, where: Column,
                           opts: Opts) -> CheckRes:
     contribs: list[Column] = []
     for k, child in alt.fields.items():
-        ckv = F.try_variant_get(kv, f"$.{k}", "variant")
         w = F.concat_ws(".", where, F.lit(k))
-        base = check_variant_node(child, ckv, w, opts)
         # absent key (ckv NULL) = JS undefined -> MISSING_KEY iff required
         # (schisma.mjs:306-310); JSON null arrives as VOID, handled by the
         # Null atom (schisma.mjs:599-600)
@@ -241,8 +239,25 @@ def _check_variant_object(alt: ObjectAlt, idx, kv: Column, where: Column,
                 empty_varr().alias("v"), F.lit(False).alias("p"),
                 F.lit(0).cast("int").alias("h"),
             )
+
+        def _mk_field_contrib(child, w, missing):
+            # one-arg lambda for bind() (default-arg captures would change
+            # the HOF arity): ckv is a lambda VARIABLE, so the variant get
+            # (and the whole parse chain above it) evaluates ONCE per row,
+            # however many times the child check references it. Without
+            # the binding, interpreted stages (Generate/Filter carry no
+            # subexpression elimination) re-parsed the payload for every
+            # reference — 8x on the violations explode (measured).
+            def _field_contrib(ckv: Column) -> Column:
+                base = check_variant_node(child, ckv, w, opts)
+                return F.when(ckv.isNull(), missing).otherwise(
+                    _child_struct(base))
+
+            return _field_contrib
+
         contribs.append(
-            F.when(ckv.isNull(), missing).otherwise(_child_struct(base))
+            bind(F.try_variant_get(kv, f"$.{k}", "variant"),
+                 _mk_field_contrib(child, w, missing))
         )
     # unexpected keys: enumerate runtime keys via to_json
     keys_arr = F.json_object_keys(F.to_json(kv))
@@ -317,17 +332,19 @@ def _check_variant_object(alt: ObjectAlt, idx, kv: Column, where: Column,
                         lambda acc, e: acc + e["h"]).alias("h"),
         ))
     if not opts.ignore_unexpected:
-        contribs.append(
-            F.struct(
+        def _unexpected_contrib(u: Column) -> Column:
+            # let-bound: three references below, one keys-enumeration pass
+            return F.struct(
                 F.transform(
-                    unk,
+                    u,
                     lambda k: viol(UNEXPECTED_KEY,
                                    where=F.concat_ws(".", where, k)),
                 ).alias("v"),
-                (F.size(unk) > 0).alias("p"),
-                (-F.size(unk)).cast("int").alias("h"),
+                (F.size(u) > 0).alias("p"),
+                (-F.size(u)).cast("int").alias("h"),
             )
-        )
+
+        contribs.append(bind(unk, _unexpected_contrib))
 
     def combine(cs: Column) -> Column:
         return F.struct(
@@ -375,19 +392,24 @@ def validate_variant(
                 ignore_required=ignore_required)
     keys = list(keys or [])
     col = F.col(json_col)
-    v = F.try_parse_json(col)
     alt = sch.root.alts[0]
     if not isinstance(alt, ObjectAlt):
         raise TypeError("variant schema root must be an object")
-    res = _check_variant_object(alt, None, v, F.lit(None).cast("string"),
-                                opts)
     malformed = F.array(
         viol(INVALID, where=None, expected="json object",
              received=F.substring(col, 1, 64), message="malformed json")
     )
-    viols = (
-        F.when(col.isNull(), empty_varr())
-        .when(v.isNull(), malformed)
-        .otherwise(res.viols)
-    )
+
+    def _root(vv: Column) -> Column:
+        # vv is the let-bound parse: ONE try_parse_json per row no matter
+        # how many variant gets the object check hangs off it
+        res = _check_variant_object(alt, None, vv,
+                                    F.lit(None).cast("string"), opts)
+        return (
+            F.when(col.isNull(), empty_varr())
+            .when(vv.isNull(), malformed)
+            .otherwise(res.viols)
+        )
+
+    viols = bind(F.try_parse_json(col), _root)
     return ValidationResult(df=df, keys=keys, viols_col=viols)

@@ -111,3 +111,22 @@ def test_lsh_self_join_not_cartesian(spark):
     plan2 = topk._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_ivf_join_not_cartesian(spark):
+    """ivf_ann_topk candidates must join on the cell key — assignment is a
+    pure projection against literal centroids (no join at all), and the
+    probe-cell join is an equi-join, never cartesian/nested-loop."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.similarity import ivf_ann_topk
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), 1.0, 0.5, 0.25])
+         for i in range(60)]
+    )
+    out = ivf_ann_topk(emb, emb.where(F.col("vec_id") % 10 == 0),
+                       "vec_id", "embedding", dim=4, k=3,
+                       n_centroids=4, n_probe=2, sample_mod=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
