@@ -205,25 +205,42 @@ def ivf_ann_topk(
     construction — no distinct() pass. Recall tunes with
     n_probe/n_centroids instead of tables*planes."""
     del dim  # the codebook fixes the dimensionality
-    cents = ivf_centroids(df, id_col, vec_col, n_centroids, sample_mod)
+    import math
 
-    def cos_to(c):
-        return F.round(cosine_sim(F.col(vec_col), F.lit(c)), round_to)
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids, sample_mod)
+    # centroid norms are DRIVER constants (left-assoc sum + sqrt — the
+    # same op order Spark's fold would use, so the rounded cosines stay
+    # bit-identical to the oracle's list_cosine_similarity); the row
+    # vector's norm is let-bound: ONE norm per row, one dot per centroid,
+    # instead of recomputing the norm n_centroids times
+    cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+
+    def cos_arr(nv):
+        return [
+            F.round(_dot(F.col(vec_col), F.lit(c)) / (nv * F.lit(cn)),
+                    round_to)
+            for c, cn in zip(cents, cnorms)
+        ]
 
     cell = bind(
-        F.array(*[cos_to(c) for c in cents]),
-        lambda ca: F.array_position(ca, F.array_max(ca)).cast("int"),
+        _norm(F.col(vec_col)),
+        lambda nv: bind(
+            F.array(*cos_arr(nv)),
+            lambda ca: F.array_position(ca, F.array_max(ca)).cast("int"),
+        ),
     )
     # probe side: n_probe nearest cells via lexicographic struct sort
     # (-cos asc == cos desc, then centroid index asc — same tie-break as
     # the assignment argmax)
-    probe_cells = F.slice(
-        F.array_sort(F.array(*[
-            F.struct((-cos_to(c)).alias("nc"),
-                     F.lit(j + 1).alias("c"))
-            for j, c in enumerate(cents)
-        ])),
-        1, n_probe,
+    probe_cells = bind(
+        _norm(F.col(vec_col)),
+        lambda nv: F.slice(
+            F.array_sort(F.array(*[
+                F.struct((-cos).alias("nc"), F.lit(j + 1).alias("c"))
+                for j, cos in enumerate(cos_arr(nv))
+            ])),
+            1, n_probe,
+        ),
     )
     base = df.select(
         F.col(id_col).alias("neighbor_id"),
