@@ -635,12 +635,27 @@ def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
     functions — fixed keys via element_at, per-entry regex dispatch via
     transform over map_entries. Keys are dynamic per row here, so this is
     the one place regex matching happens at run time (`rlike`)."""
+    from schisma_spark.functions.portable import bind as _bind
+
     vdt = dtype.valueType
-    contribs = []
+    # per-field contributions as LET-BOUND (v, p, h) structs: the
+    # element_at evaluates once per row regardless of how many times the
+    # child check references the value, and the struct shape lets the
+    # combine below reference each field exactly once (interpreted stages
+    # — Generate/Filter — do no common-subexpression elimination, so every
+    # textual duplicate re-evaluates; measured 5x on the variant twin)
+    field_structs = []
     for k, child in alt.fields.items():
-        cc = F.element_at(c, F.lit(k))
         w = F.concat_ws(".", where, F.lit(k))
-        contribs.append(_child_contrib(child, cc, vdt, w, opts))
+
+        def _mk(child, w):
+            def body(cc: Column) -> Column:
+                v_, p_, h_, _n = _child_contrib(child, cc, vdt, w, opts)
+                return F.struct(v_.alias("v"), p_.alias("p"),
+                                h_.cast("int").alias("h"))
+            return body
+
+        field_structs.append(_bind(F.element_at(c, F.lit(k)), _mk(child, w)))
 
     fixed_arr = F.array(*[F.lit(k) for k in alt.fields]) if alt.fields \
         else F.array().cast("array<string>")
@@ -702,25 +717,36 @@ def _check_map(alt: ObjectAlt, idx, c: Column, dtype: T.MapType,
                         F.lit(0).cast("int").alias("h"))
         return F.when(F.array_contains(fixed_arr, k), skip).otherwise(expr)
 
-    entries = F.transform(F.map_entries(c), entry_res)
-    dyn_viols = F.flatten(F.transform(entries, lambda e: e["v"]))
-    dyn_prob = F.exists(entries, lambda e: e["p"])
-    dyn_h = F.aggregate(entries, F.lit(0).cast("int"), lambda a, e: a + e["h"])
-    contribs.append((dyn_viols, dyn_prob, dyn_h, None))  # HOF path: no n
+    # dynamic entries: the transform is bound once — flatten/exists/
+    # aggregate iterate the bound array instead of re-running the whole
+    # per-entry dispatch three times
+    def _dyn(es: Column) -> Column:
+        return F.struct(
+            F.flatten(F.transform(es, lambda e: e["v"])).alias("v"),
+            F.exists(es, lambda e: e["p"]).alias("p"),
+            F.aggregate(es, F.lit(0).cast("int"),
+                        lambda a, e: a + e["h"]).alias("h"),
+        )
 
-    viols = F.concat(*[t[0] for t in contribs])
-    any_prob = contribs[0][1]
-    for t in contribs[1:]:
-        any_prob = any_prob | t[1]
-    sum_h = contribs[0][2]
-    for t in contribs[1:]:
-        sum_h = sum_h + t[2]
-    code = F.when(any_prob, F.lit(PARTIAL_MATCH)).otherwise(F.lit(EXACT_MATCH))
-    h = (sum_h + F.when(any_prob, F.lit(0)).otherwise(F.lit(2))).cast("int")
+    field_structs.append(_bind(F.transform(F.map_entries(c), entry_res),
+                               _dyn))
+
+    def _combine(cs: Column) -> Column:
+        return F.struct(
+            F.flatten(F.transform(cs, lambda s: s["v"])).alias("v"),
+            F.exists(cs, lambda s: s["p"]).alias("p"),
+            F.aggregate(cs, F.lit(0).cast("int"),
+                        lambda a, s: a + s["h"]).alias("h"),
+        )
+
+    agg = _bind(F.array(*field_structs), _combine)
+    code = F.when(agg["p"], F.lit(PARTIAL_MATCH)).otherwise(
+        F.lit(EXACT_MATCH))
+    h = (agg["h"] + F.when(agg["p"], F.lit(0)).otherwise(F.lit(2)))
     nm = F.array(viol(NO_MATCH, where=where, expected="object",
                       received="null", type_index=idx))
     return CheckRes(
-        F.when(c.isNull(), nm).otherwise(viols),
+        F.when(c.isNull(), nm).otherwise(agg["v"]),
         F.when(c.isNull(), F.lit(NO_MATCH)).otherwise(code),
         F.when(c.isNull(), F.lit(-1)).otherwise(h).cast("int"),
     )

@@ -50,19 +50,30 @@ def json_checks(col: Column, sch: Schema, opts: Opts) -> Column:
         fields={k: _force_castable(v) for k, v in alt.fields.items()},
         regex=[(p, [_force_castable(n) for n in alts_]) for p, alts_ in alt.regex],
     )
-    m = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
-    res = _check_map(alt, None, m, T.MapType(T.StringType(), T.StringType()),
-                     F.lit(None).cast("string"), opts)
     malformed = F.array(
         viol(INVALID, where=None, expected="json object",
              received=F.substring(col, 1, 64), message="malformed json")
     )
-    return (
-        F.when(col.isNull(), empty_varr())  # null column = absent payload;
-                                            # required-ness is the caller's
-                                            # row-schema concern
-        .when(m.isNull(), malformed)
-        .otherwise(res.viols)
+
+    def _body(m: Column) -> Column:
+        # m is let-bound: ONE from_json per row — _check_map references
+        # the map once per fixed key plus the entries pass, and
+        # interpreted stages don't eliminate common subexpressions
+        res = _check_map(alt, None, m,
+                         T.MapType(T.StringType(), T.StringType()),
+                         F.lit(None).cast("string"), opts)
+        return (
+            F.when(col.isNull(), empty_varr())  # null column = absent
+                                                # payload; required-ness is
+                                                # the caller's row concern
+            .when(m.isNull(), malformed)
+            .otherwise(res.viols)
+        )
+
+    from schisma_spark.functions.portable import bind
+
+    return bind(
+        F.from_json(col, T.MapType(T.StringType(), T.StringType())), _body
     )
 
 
