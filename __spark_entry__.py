@@ -246,6 +246,18 @@ def q_simhash(spark, sf):
     return d.select("doc_id", simhash(F.col("text")).cast("long").alias("sim"))
 
 
+def q_simhash_near_dups(spark, sf):
+    """Banded SimHash near-dup pairs (r3): pigeonhole byte-bands generate
+    candidates (d<=3 guarantees a shared byte), exact bit_count(xor)
+    verifies. Portable md5 hashing keeps the DuckDB twin exact."""
+    from schisma_spark.functions.dedup import simhash_near_dups
+
+    d = _t(spark, sf, "documents")
+    out = simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_ann_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     probes = emb.where(F.col("vec_id") % 50 == 0)
@@ -545,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
         "lang_quality_agg": q_lang_quality_agg,
         "validate_json_events": q_validate_json_events,
@@ -940,6 +953,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ({simhash_expr})::bigint AS sim
             FROM (SELECT doc_id, {_WORDS} AS w FROM documents
                   WHERE doc_id % 25 = 0)
+        """,
+        "simhash_near_dups": f"""
+            -- byte-band pigeonhole over the same portable simhash: d<=3
+            -- forces agreement on >=1 of 4 bytes; exact hamming verifies
+            WITH s AS (
+              SELECT doc_id, ({simhash_expr})::bigint AS sim
+              FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+            ),
+            banded AS (
+              SELECT doc_id, sim, b AS band_idx,
+                     (sim >> (8*b)) & 255 AS band_val
+              FROM s CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) t
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sim AS sa, b.sim AS sb
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::int AS hamming
+            FROM cands WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "ann_topk": """
             SELECT * FROM (

@@ -279,3 +279,47 @@ def simhash(c: Column, bits: int = SIMHASH_BITS,
 def hamming32(a: Column, b: Column) -> Column:
     """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hasher: str = "portable",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: ``id_a, id_b, hamming`` with
+    ``hamming <= max_hamming``.
+
+    Pigeonhole banding: two 32-bit signatures within Hamming distance
+    d <= 3 must agree on at least one of the 4 bytes (4 differing bits
+    cannot land in 4 distinct bytes when d < 4), so candidates are pairs
+    sharing ANY byte-band — shuffle O(docs * 4), never all-pairs — and the
+    exact ``bit_count(xor)`` verifies. ``max_hamming`` above 3 weakens the
+    guarantee (recall, not correctness, of the banding); raise bands by
+    splitting nibbles if a looser radius ever matters.
+    """
+    sig = simhash(F.col(text_col), hasher=hasher)
+    s = df.select(F.col(id_col).alias("_id"), sig.alias("sig"))
+    bands = F.array(*[
+        F.shiftright("sig", 8 * b).bitwiseAND(F.lit(0xFF)).cast("int")
+        for b in range(4)
+    ])
+    banded = s.select(
+        "_id", "sig", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    banded = cap_bucket_size(banded, ["band_idx", "band_val"], "_id",
+                             max_bucket_size)
+    a = banded.select("band_idx", "band_val", F.col("_id").alias("id_a"),
+                      F.col("sig").alias("sig_a"))
+    b = banded.select("band_idx", "band_val", F.col("_id").alias("id_b"),
+                      F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                hamming32(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

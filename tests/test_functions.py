@@ -271,3 +271,33 @@ def test_ivf_ann_recall_reasonable(spark):
     ).select("probe_id", "neighbor_id").collect()))
     recall = sum(1 for t in bf if t in ivf) / len(bf)
     assert recall >= 0.3, recall
+
+
+def test_simhash_near_dups_planted(spark):
+    """Pigeonhole banding must surface a planted near-identical pair
+    (one-word edit) and never miss any pair with hamming <= 3 (compared
+    against the exhaustive all-pairs computation)."""
+    from schisma_spark.functions.dedup import simhash_near_dups
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green woods tonight")
+    rows = [Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base.replace("tonight", "today"))]
+    rows += [Row(doc_id=i, text=f"document number {i} totally different "
+                                f"content {i*7} unrelated words {i*13}")
+             for i in range(2, 40)]
+    df = spark.createDataFrame(rows)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dups(df, "text", "doc_id",
+                                      max_hamming=3).collect()}
+    # exhaustive twin
+    from schisma_spark.functions.dedup import hamming32, simhash
+    s = df.select("doc_id", simhash(F.col("text")).alias("s"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    allp = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    hamming32(F.col("sa"), F.col("sb")).alias("h"))
+            .where(F.col("h") <= 3).collect())
+    assert {(r["id_a"], r["id_b"]): r["h"] for r in allp} == got
+    assert (0, 1) in got  # the planted one-word edit
