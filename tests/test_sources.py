@@ -112,3 +112,19 @@ def test_bucketed_write_colocated_join(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="catalog table"):
         write_table(a, str(tmp_path / "x"), bucket_by=(8, ["k"]))
+
+
+def test_fan_out_guard(spark, tmp_path):
+    """fan_out repartitions only when the scan is coarser than the session
+    parallelism — and is a structural no-op otherwise."""
+    from schisma_spark.sources import fan_out
+
+    p = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    one = spark.read.parquet(p)
+    n = spark.sparkContext.defaultParallelism
+    assert one.rdd.getNumPartitions() < n
+    assert fan_out(one).rdd.getNumPartitions() == n
+
+    wide = spark.range(1000).repartition(n + 4)
+    assert fan_out(wide) is wide  # untouched, no shuffle added
