@@ -411,7 +411,8 @@ def q_conform_variant_events(spark, sf):
     ev = _t(spark, sf, "events").select(
         "event_id",
         F.when(eid % 5 == 0, F.lit('{"v": "txt", "tags": [1, "a"]}'))
-        .when(eid % 7 == 0, F.lit('{"v": true}'))
+        .when(eid % 7 == 0, F.lit('{"v": true}'))  # Number(true)=1 (r3
+        # JS-coercion fidelity): the float alternative accepts booleans
         .when(eid % 11 == 0, F.lit('{"v": {"x": 1}}'))  # -> String(obj):
         # the union's String alternative carries it as JSON.stringify
         # (schisma.mjs:591-596) — data kept over defaulting
@@ -1089,12 +1090,12 @@ def oracle_sql() -> dict[str, str]:
         "conform_variant_events": """
             -- per-value union dispatch, recomputed independently: %5 keeps
             -- the STRING alternative + conforms array elements to str;
-            -- %7's boolean falls through Number to String('true'); %11's
-            -- object falls to String(obj) = JSON.stringify
-            -- (schisma.mjs:591-596); data rows keep Number (typed x.0)
+            -- %7's boolean coerces through Number(true)=1 (JS semantics,
+            -- schisma.mjs:579-584); %11's object falls to String(obj) =
+            -- JSON.stringify (schisma.mjs:591-596); data rows keep Number
             SELECT event_id,
               CASE WHEN event_id % 5 = 0 THEN '{"v":"txt","tags":["1","a"]}'
-                   WHEN event_id % 7 = 0 THEN '{"v":"true"}'
+                   WHEN event_id % 7 = 0 THEN '{"v":1.0}'
                    WHEN event_id % 11 = 0
                      THEN '{"v":' || to_json('{"x":1}')::varchar || '}'
                    ELSE '{"v":' ||

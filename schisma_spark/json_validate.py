@@ -138,17 +138,43 @@ def conform_json(
         return _json.dumps(v, separators=(",", ":"))
 
     def _atom_value(kv: Column, atoms: list, dflt) -> Column:
-        """Typed JSON text via the coercion chain: each atom alternative in
-        order, none-accepts -> default (Number('abc') -> NaN -> default,
-        schisma.mjs:579-584). NULL when the value isn't scalar-extractable
-        (object/array) or the ``$``-extraction is NULL."""
+        """Typed JSON text via the coercion chain (each atom alternative in
+        order, none-accepts -> default), with the reference's JS coercion
+        semantics per runtime typeof (schisma.mjs:579-607, r3 fidelity):
+        ``Number(true)=1``, ``Number('')=0``, ``Boolean('abc')=true`` /
+        ``Boolean('')=false`` / ``Boolean(0)=false`` / objects-and-arrays
+        truthy, ``String(5.0)='5'`` (integral doubles drop the '.0'),
+        ``String(obj)=JSON.stringify``."""
+        from schisma_spark.variant_validate import js_typeof_variant
+
         cur = F.try_variant_get(kv, "$", "string")
+        to = js_typeof_variant(kv)
         cands: list[Column] = []
         for a in atoms:
             if a is ta.STRING:
-                cands.append(_json_scalar(cur))
+                d = cur.try_cast("double")
+                num_txt = F.when(
+                    (d == F.floor(d)) & (F.abs(d) < 1e15),
+                    d.cast("long").cast("string"),
+                ).otherwise(cur)
+                cands.append(F.when(to == "number", _json_scalar(num_txt))
+                             .otherwise(_json_scalar(cur)))
+            elif a is ta.BOOLEAN:
+                cv = (
+                    F.when(to == "string", cur != "")
+                    .when(to == "number", cur.try_cast("double") != 0.0)
+                    .when(to == "boolean", cur.try_cast("boolean"))
+                    .when(to.isin("object", "array"), F.lit(True))
+                )
+                cands.append(F.when(cv.isNotNull(), _json_scalar(cv)))
             else:
-                cv = cur.try_cast(a.spark_type)
+                cv = (
+                    F.when(to == "boolean",
+                           cur.try_cast("boolean").cast(a.spark_type))
+                    .when((to == "string") & (F.trim(cur) == ""),
+                          F.lit(0).cast(a.spark_type))
+                    .otherwise(cur.try_cast(a.spark_type))
+                )
                 cands.append(F.when(cv.isNotNull(), _json_scalar(cv)))
         fallback = (F.lit(_dumps(dflt)) if dflt is not None
                     else F.lit(None).cast("string"))

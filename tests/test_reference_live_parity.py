@@ -88,3 +88,61 @@ def test_conform_json_matches_live_reference_run(spark):
     assert ref_lines[4].startswith("CRASH TypeError")
     assert got[4] == {"a": 0.0, "b": {"bA": "x", "bB": [False]},
                       "c": [{"cA": 2.0}]}
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_conform_json_randomized_parity_sweep(spark):
+    """Seeded randomized sweep: 48 generated documents conformed by BOTH
+    engines (one node run, one Spark job), compared structurally. Shapes
+    the reference itself cannot conform (array-of-objects elements, scalar
+    where an object is expected, JSON null scalars, unions) are excluded —
+    those are covered by the targeted tests above."""
+    import random
+
+    rng = random.Random(7)
+    a_pool = [0, 3, -1.5, "7", "abc", "", True, False, {"x": 1}]
+    ba_pool = [5, 5.5, "x", True, {"y": 2}, ""]
+    bb_elem = [True, False, 0, 1, 2, "", "z"]
+    junk_pool = [1, "j", True]
+
+    inputs = []
+    for _ in range(48):
+        o = {}
+        if rng.random() < 0.85:
+            o["a"] = rng.choice(a_pool)
+        if rng.random() < 0.8:
+            b = {}
+            if rng.random() < 0.8:
+                b["bA"] = rng.choice(ba_pool)
+            if rng.random() < 0.8:
+                b["bB"] = [rng.choice(bb_elem)
+                           for _ in range(rng.randint(0, 3))]
+            if rng.random() < 0.3:
+                b["zz"] = rng.choice(junk_pool)
+            o["b"] = b
+        if rng.random() < 0.3:
+            o["junk"] = rng.choice(junk_pool)
+        if rng.random() < 0.4:
+            o["c"] = []  # non-empty c hits the reference's conform crash
+        inputs.append(o)
+
+    script = NODE_SCRIPT % (REF, json.dumps(inputs))
+    out = subprocess.run(["node", "-e", script], capture_output=True,
+                         text=True, timeout=120, check=True)
+    ref_lines = out.stdout.strip().splitlines()
+    assert len(ref_lines) == len(inputs)
+    assert not any(line.startswith("CRASH") for line in ref_lines)
+
+    sch = schema({"a": float, "b": {"bA": str, "bB": [bool]},
+                  "c": [{"cA": float}]})
+    df = spark.createDataFrame(
+        [Row(id=i, p=json.dumps(o)) for i, o in enumerate(inputs)]
+    )
+    got = {r["id"]: json.loads(r["p"])
+           for r in conform_json(df, "p", sch).collect()}
+    mismatches = []
+    for i, line in enumerate(ref_lines):
+        ref = json.loads(line)
+        if got[i] != ref:
+            mismatches.append((i, inputs[i], got[i], ref))
+    assert not mismatches, mismatches[:5]
