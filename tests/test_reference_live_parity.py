@@ -146,3 +146,31 @@ def test_conform_json_randomized_parity_sweep(spark):
         if got[i] != ref:
             mismatches.append((i, inputs[i], got[i], ref))
     assert not mismatches, mismatches[:5]
+
+
+def test_conform_json_idempotent_on_sweep_corpus(spark):
+    """Repair must be a fixpoint: conform(conform(x)) == conform(x) over
+    the same seeded corpus (no node needed — an engine-only invariant)."""
+    import random
+
+    rng = random.Random(11)
+    pool = [0, 3, -1.5, "7", "abc", "", True, False, {"x": 1}]
+    inputs = []
+    for _ in range(40):
+        o = {}
+        if rng.random() < 0.85:
+            o["a"] = rng.choice(pool)
+        if rng.random() < 0.8:
+            o["b"] = {k: rng.choice(pool)
+                      for k in ("bA", "bB", "zz") if rng.random() < 0.7}
+        inputs.append(o)
+    sch = schema({"a": float, "b": {"bA": str, "bB": [bool]},
+                  "c": [{"cA": float}]})
+    df = spark.createDataFrame(
+        [Row(id=i, p=json.dumps(o)) for i, o in enumerate(inputs)]
+    )
+    once = conform_json(df, "p", sch)
+    once_rows = {r["id"]: r["p"] for r in once.collect()}
+    twice_rows = {r["id"]: r["p"] for r in conform_json(once, "p",
+                                                        sch).collect()}
+    assert once_rows == twice_rows
