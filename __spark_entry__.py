@@ -19,6 +19,7 @@ from schisma_spark.checks import (
     duplicate_keys,
     fixed_histogram,
     fk_violations,
+    hll_distinct_check,
     kll_quantile_check,
     ks_from_histograms,
     top_k_violations,
@@ -459,6 +460,17 @@ def q_kll_quantiles_check(spark, sf):
                               [0.1, 0.25, 0.5, 0.75, 0.9])
 
 
+def q_hll_distinct_check(spark, sf):
+    """Mergeable HLL distinct-count sketch (checks/sketch.py, r3 — the
+    cardinality twin of the KLL quantile story) accuracy verdict: the
+    estimate must sit within HLL_TOL = 3x the documented lgK=12 relative
+    error of the exact distinct count. HLL estimation is deterministic
+    for a given input, so the verdict row is oracle-able; the ESTIMATE
+    itself is DataSketches-specific and stays engine-side."""
+    out = hll_distinct_check(_t(spark, sf, "lineitem"), "l_partkey")
+    return out.select("n_exact", "within_tol")
+
+
 def q_lang_quality_agg(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -564,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_json_events": q_validate_json_events,
         "quantiles_quantity": q_quantiles_quantity,
         "kll_quantiles_check": q_kll_quantiles_check,
+        "hll_distinct_check": q_hll_distinct_check,
         "recursive_validate": q_recursive_validate,
         "new_categories": q_new_categories,
         "stats_grouped": q_stats_grouped,
@@ -1047,6 +1060,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.5::DOUBLE, true
             UNION ALL SELECT 0.75::DOUBLE, true
             UNION ALL SELECT 0.9::DOUBLE, true
+        """,
+        "hll_distinct_check": """
+            -- the HLL estimate is DataSketches-specific; the deterministic
+            -- oracle artifacts are the exact distinct count and the
+            -- accuracy VERDICT (within HLL_TOL = 3x the lgK=12 relative
+            -- error, checks/sketch.py)
+            SELECT count(DISTINCT l_partkey)::bigint AS n_exact,
+                   true AS within_tol
+            FROM lineitem
         """,
         "new_categories": """
             WITH p AS (SELECT p_partkey,

@@ -12,6 +12,9 @@ from schisma_spark.checks.uniqueness import duplicate_keys, uniqueness_violation
 from schisma_spark.checks.referential import fk_violations
 from schisma_spark.checks.drift import fixed_histogram, ks_from_histograms, quantile_sketch
 from schisma_spark.checks.sketch import (
+    hll_distinct_check,
+    hll_merge,
+    hll_sketch,
     kll_merge,
     kll_quantile_check,
     kll_quantiles,
@@ -28,6 +31,9 @@ __all__ = [
     "fixed_histogram",
     "ks_from_histograms",
     "quantile_sketch",
+    "hll_sketch",
+    "hll_merge",
+    "hll_distinct_check",
     "kll_sketch",
     "kll_merge",
     "kll_quantiles",

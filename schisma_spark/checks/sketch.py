@@ -126,6 +126,61 @@ def kll_quantile_check(df: DataFrame, value_col: str,
     ).orderBy("q")
 
 
+#: DataSketches HLL, lgConfigK=12 default: relative standard error
+#: ~1.6 % (1.04/sqrt(2^12)); 3x margin so the verdict never flakes (HLL
+#: estimation is deterministic for a given input, unlike KLL compaction,
+#: but the bound documents the certified accuracy)
+HLL_LG_K = 12
+HLL_REL_ERROR = 1.04 / (2 ** (HLL_LG_K / 2))
+HLL_TOL = 3 * HLL_REL_ERROR
+
+
+def hll_sketch(df: DataFrame, value_col: str,
+               group_by: Sequence[str] | None = None,
+               lg_k: int = HLL_LG_K) -> DataFrame:
+    """One HLL distinct-count sketch (binary, <= ~2^lg_k bytes) per group:
+    ``group..., sketch`` — the CARDINALITY twin of :func:`kll_sketch`.
+    Mergeable aggregation state: map-side partials, only tiny sketches
+    shuffle — the 10^12-row answer to "how many distinct image_ids /
+    phashes" without a giant exact distinct."""
+    group_by = list(group_by or [])
+    agg = F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    return df.groupBy(*group_by).agg(agg) if group_by else df.agg(agg)
+
+
+def hll_merge(sketches: DataFrame, group_by: Sequence[str] | None = None,
+              sketch_col: str = "sketch") -> DataFrame:
+    """Union previously-built HLL sketches WITHOUT re-reading the data —
+    per-partition/per-run sketches from the manifest merge into one."""
+    group_by = list(group_by or [])
+    agg = F.hll_union_agg(F.col(sketch_col)).alias("sketch")
+    return (sketches.groupBy(*group_by).agg(agg)
+            if group_by else sketches.agg(agg))
+
+
+def hll_distinct_check(df: DataFrame, value_col: str,
+                       tol: float = HLL_TOL,
+                       lg_k: int = HLL_LG_K) -> DataFrame:
+    """Hard accuracy verdict for the HLL estimate: ``estimate,
+    n_exact, within_tol`` (one row) with
+    ``|estimate - n_exact| <= tol * n_exact``. HLL estimation is
+    deterministic for a given input, so both the estimate and the verdict
+    are oracle-able; the exact count comes from the same data in the same
+    plan (no separate action)."""
+    est = hll_sketch(df, value_col, lg_k=lg_k).select(
+        F.hll_sketch_estimate("sketch").alias("estimate")
+    )
+    exact = df.agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    return est.crossJoin(exact).select(
+        F.col("estimate").cast("long").alias("estimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.abs(F.col("estimate") - F.col("n_exact"))
+         <= F.lit(tol) * F.col("n_exact")).alias("within_tol"),
+    )
+
+
 def ks_from_sketches(a: DataFrame, b: DataFrame,
                      group_by: Sequence[str] | None = None,
                      sketch_col: str = "sketch",

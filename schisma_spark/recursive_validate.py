@@ -209,26 +209,32 @@ def validate_json_recursive(
     )
     if anc.isEmpty():
         return viols
+    # deepest boundary = half the max segment count ('field.idx' pairs);
+    # the second descent stops THERE, not at the documents' full depth —
+    # a deep clean tail below the last problem boundary is never walked.
+    # (One bounded collect: anc is the small cached boundary set.)
+    max_depth_needed = anc.agg(
+        F.max(F.size(F.split("_path", r"\."))).alias("m")
+    ).collect()[0]["m"] // 2
     prob_docs = anc.select(*keys).distinct()
     fr, fids = _ckpt(root_frontier(df.join(prob_docs, on=keys,
                                            how="leftsemi")))
     carrier_levels: list[DataFrame] = []
-    while True:
+    for _lvl in range(max_depth_needed):
         nxt, nids = _ckpt(descend(fr))
-        if nxt.isEmpty():
-            _free(fids)
-            _free(nids)
+        _free(fids)
+        fr, fids = nxt, nids
+        if fr.isEmpty():
             break
         carrier_levels.append(materialize(
-            nxt.withColumnRenamed("_where", "_path")
+            fr.withColumnRenamed("_where", "_path")
             .join(anc, on=[*keys, "_path"])
             .select(*keys,
                     viol(INVALID, where=F.col("_path"),
                          value=F.to_json("_v")).alias("_x"))
             .select(*keys, "_x.*")
         ))
-        _free(fids)
-        fr, fids = nxt, nids
+    _free(fids)
     for c in carrier_levels:
         viols = viols.unionByName(c)
     return viols

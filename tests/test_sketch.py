@@ -76,3 +76,24 @@ def test_kll_sketch_state_is_small(spark, lineitem):
     # the whole point at 10^12 rows: fixed-size agg state
     row = kll_sketch(lineitem, "l_quantity").collect()[0]
     assert len(row["sketch"]) < 8192  # ~3 KB at k=200
+
+
+def test_hll_distinct_check_and_merge(spark, lineitem):
+    """HLL cardinality sketches (r3): accuracy verdict within HLL_TOL, and
+    MERGEABILITY — per-group sketches unioned without rescanning equal the
+    direct whole-table estimate (HLL union is exact over the same state)."""
+    from schisma_spark.checks import (
+        hll_distinct_check, hll_merge, hll_sketch,
+    )
+
+    row = hll_distinct_check(lineitem, "l_partkey").collect()[0]
+    assert row["within_tol"]
+    assert row["n_exact"] > 0
+
+    direct = hll_sketch(lineitem, "l_partkey").select(
+        F.hll_sketch_estimate("sketch").alias("e")).collect()[0]["e"]
+    per_group = hll_sketch(lineitem, "l_partkey",
+                           group_by=["l_returnflag"])
+    merged = hll_merge(per_group).select(
+        F.hll_sketch_estimate("sketch").alias("e")).collect()[0]["e"]
+    assert merged == direct
