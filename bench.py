@@ -119,6 +119,13 @@ def main():
                               keys=["image_id"]).count(),
         rows=N_IMAGES,
     )
+    from schisma_spark.checks import hll_distinct_check
+
+    timed(
+        "image_hll_distinct",
+        lambda: hll_distinct_check(imgs, "phash").collect(),
+        rows=N_IMAGES,
+    )
     timed(
         "image_drift_ks",
         lambda: ks_from_histograms(
