@@ -70,3 +70,31 @@ def test_validate_variant_matches_live_reference_run(spark):
     for i in range(len(INPUTS)):
         assert sorted(got[i]) == ref[i], \
             f"input {i} {INPUTS[i]}: engine={sorted(got[i])} ref={ref[i]}"
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_create_matches_live_reference_run():
+    """create() parity against a live reference run, both option settings
+    (populateArrays toggles default instances inside arrays). Driver-side
+    only — no Spark."""
+    script = """
+import(%r).then(m => {
+  const schisma = m.default
+  const sch = schisma({
+    a: Number,
+    b: { bA: String, bB: [Boolean] },
+    c: [ { cA: Number } ],
+  })
+  console.log(JSON.stringify(sch.create({})))
+  console.log(JSON.stringify(sch.create({populateArrays: true})))
+})
+""" % REF
+    out = subprocess.run(["node", "-e", script], capture_output=True,
+                         text=True, timeout=60, check=True)
+    plain, populated = [json.loads(line)
+                        for line in out.stdout.strip().splitlines()]
+
+    sch = schema({"a": float, "b": {"bA": str, "bB": [bool]},
+                  "c": [{"cA": float}]})
+    assert sch.create() == plain
+    assert sch.create(populate_arrays=True) == populated
