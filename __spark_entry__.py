@@ -373,7 +373,9 @@ def q_conform_json_events(spark, sf):
     path: NESTED-object repair (r3 — leaf coercion + nested junk removal +
     nested missing-required insert, schisma.mjs:425-455), uncastable value
     + junk key, malformed JSON, missing required key, regex-kept dynamic
-    key."""
+    key, and (r4) a present JSON null, which conforms via JS coercion of
+    null — Number(null)=0, $default SKIPPED (schisma.mjs:542-544) — not
+    via the missing-key default."""
     from schisma_spark.json_validate import conform_json
 
     eid = F.col("event_id")
@@ -385,6 +387,7 @@ def q_conform_json_events(spark, sf):
         .when(eid % 7 == 0, F.lit('{broken'))
         .when(eid % 11 == 0, F.lit('{}'))
         .when(eid % 13 == 0, F.lit('{"k": 2, "x_a": "qq"}'))
+        .when(eid % 19 == 0, F.lit('{"k": null}'))
         .otherwise(F.col("props"))
         .alias("props"),
     )
@@ -411,12 +414,16 @@ def q_conform_variant_events(spark, sf):
     eid = F.col("event_id")
     ev = _t(spark, sf, "events").select(
         "event_id",
-        F.when(eid % 5 == 0, F.lit('{"v": "txt", "tags": [1, "a"]}'))
+        F.when(eid % 5 == 0, F.lit('{"v": "txt", "tags": [1, "a", null]}'))
+        # ^ null element -> String(null)='null' (typeof null is 'object'
+        # -> JSON.stringify, schisma.mjs:591-596; r4)
         .when(eid % 7 == 0, F.lit('{"v": true}'))  # Number(true)=1 (r3
         # JS-coercion fidelity): the float alternative accepts booleans
         .when(eid % 11 == 0, F.lit('{"v": {"x": 1}}'))  # -> String(obj):
         # the union's String alternative carries it as JSON.stringify
         # (schisma.mjs:591-596) — data kept over defaulting
+        .when(eid % 13 == 0, F.lit('{"v": null}'))  # present null ->
+        # create(conf, null): first alternative Number(null)=0 (r4)
         .otherwise(F.format_string('{"v": %s}',
                                    (eid % 100).cast("string")))
         .alias("props"),
@@ -1104,6 +1111,8 @@ def oracle_sql() -> dict[str, str]:
                    WHEN event_id % 7 = 0 THEN '{"k":-1.0}'   -- malformed
                    WHEN event_id % 11 = 0 THEN '{"k":-1.0}'  -- missing key
                    WHEN event_id % 13 = 0 THEN '{"k":2.0,"x_a":"qq"}'
+                   -- present JSON null: JS Number(null)=0, $default SKIPPED
+                   WHEN event_id % 19 = 0 THEN '{"k":0.0}'
                    ELSE '{"k":' ||
                         CAST(CAST(props->>'$.k' AS DOUBLE) AS VARCHAR) || '}'
               END AS props
@@ -1116,10 +1125,13 @@ def oracle_sql() -> dict[str, str]:
             -- schisma.mjs:579-584); %11's object falls to String(obj) =
             -- JSON.stringify (schisma.mjs:591-596); data rows keep Number
             SELECT event_id,
-              CASE WHEN event_id % 5 = 0 THEN '{"v":"txt","tags":["1","a"]}'
+              CASE WHEN event_id % 5 = 0
+                     THEN '{"v":"txt","tags":["1","a","null"]}'
                    WHEN event_id % 7 = 0 THEN '{"v":1.0}'
                    WHEN event_id % 11 = 0
                      THEN '{"v":' || to_json('{"x":1}')::varchar || '}'
+                   -- present JSON null -> create(conf, null): Number(null)=0
+                   WHEN event_id % 13 = 0 THEN '{"v":0.0}'
                    ELSE '{"v":' ||
                         CAST(CAST(event_id % 100 AS DOUBLE) AS VARCHAR)
                         || '}'

@@ -137,6 +137,21 @@ def conform_json(
     def _dumps(v) -> str:
         return _json.dumps(v, separators=(",", ":"))
 
+    def _null_coerced(node: Node):
+        """JS ``create(conf, data=null)`` for a PRESENT JSON null
+        (ADVICE r3): the reference conforms null via constructor coercion
+        (schisma.mjs:536-610 with data=null) — ``Number(null)=0``,
+        ``String(null)='null'`` (typeof null is 'object', so it goes
+        through JSON.stringify, schisma.mjs:591-596), ``Boolean(null)=
+        false``; plain ``$default`` is SKIPPED (data !== undefined,
+        schisma.mjs:542-544) while a ``$default`` thunk runs with null.
+        A Null alternative matches null exactly, so the value survives
+        unrepaired."""
+        if any(isinstance(a, AtomAlt) and a.atom is ta.NULL
+               for a in node.alts):
+            return None
+        return create_value(node, None)
+
     def _atom_value(kv: Column, atoms: list, dflt) -> Column:
         """Typed JSON text via the coercion chain (each atom alternative in
         order, none-accepts -> default), with the reference's JS coercion
@@ -144,41 +159,49 @@ def conform_json(
         ``Number(true)=1``, ``Number('')=0``, ``Boolean('abc')=true`` /
         ``Boolean('')=false`` / ``Boolean(0)=false`` / objects-and-arrays
         truthy, ``String(5.0)='5'`` (integral doubles drop the '.0'),
-        ``String(obj)=JSON.stringify``."""
+        ``String(obj)=JSON.stringify``. ``cur`` (a variant get) and ``to``
+        (a schema_of_variant when-chain) are let-bound — every textual
+        reference re-evaluates otherwise (no CSE in interpreted stages)."""
         from schisma_spark.variant_validate import js_typeof_variant
 
-        cur = F.try_variant_get(kv, "$", "string")
-        to = js_typeof_variant(kv)
-        cands: list[Column] = []
-        for a in atoms:
-            if a is ta.STRING:
-                d = cur.try_cast("double")
-                num_txt = F.when(
-                    (d == F.floor(d)) & (F.abs(d) < 1e15),
-                    d.cast("long").cast("string"),
-                ).otherwise(cur)
-                cands.append(F.when(to == "number", _json_scalar(num_txt))
-                             .otherwise(_json_scalar(cur)))
-            elif a is ta.BOOLEAN:
-                cv = (
-                    F.when(to == "string", cur != "")
-                    .when(to == "number", cur.try_cast("double") != 0.0)
-                    .when(to == "boolean", cur.try_cast("boolean"))
-                    .when(to.isin("object", "array"), F.lit(True))
-                )
-                cands.append(F.when(cv.isNotNull(), _json_scalar(cv)))
-            else:
-                cv = (
-                    F.when(to == "boolean",
-                           cur.try_cast("boolean").cast(a.spark_type))
-                    .when((to == "string") & (F.trim(cur) == ""),
-                          F.lit(0).cast(a.spark_type))
-                    .otherwise(cur.try_cast(a.spark_type))
-                )
-                cands.append(F.when(cv.isNotNull(), _json_scalar(cv)))
-        fallback = (F.lit(_dumps(dflt)) if dflt is not None
-                    else F.lit(None).cast("string"))
-        return F.when(cur.isNotNull(), F.coalesce(*cands, fallback))
+        def _body(cur: Column, to: Column) -> Column:
+            cands: list[Column] = []
+            for a in atoms:
+                if a is ta.STRING:
+                    d = cur.try_cast("double")
+                    num_txt = F.when(
+                        (d == F.floor(d)) & (F.abs(d) < 1e15),
+                        d.cast("long").cast("string"),
+                    ).otherwise(cur)
+                    cands.append(
+                        F.when(to == "number", _json_scalar(num_txt))
+                        .otherwise(_json_scalar(cur)))
+                elif a is ta.BOOLEAN:
+                    cv = (
+                        F.when(to == "string", cur != "")
+                        .when(to == "number", cur.try_cast("double") != 0.0)
+                        .when(to == "boolean", cur.try_cast("boolean"))
+                        .when(to.isin("object", "array"), F.lit(True))
+                    )
+                    cands.append(F.when(cv.isNotNull(), _json_scalar(cv)))
+                else:
+                    cv = (
+                        F.when(to == "boolean",
+                               cur.try_cast("boolean").cast(a.spark_type))
+                        .when((to == "string") & (F.trim(cur) == ""),
+                              F.lit(0).cast(a.spark_type))
+                        .otherwise(cur.try_cast(a.spark_type))
+                    )
+                    cands.append(F.when(cv.isNotNull(), _json_scalar(cv)))
+            fallback = (F.lit(_dumps(dflt)) if dflt is not None
+                        else F.lit(None).cast("string"))
+            return F.when(cur.isNotNull(), F.coalesce(*cands, fallback))
+
+        return bind(
+            F.try_variant_get(kv, "$", "string"),
+            lambda cur: bind(js_typeof_variant(kv),
+                             lambda to: _body(cur, to)),
+        )
 
     def _render_value(kv: Column, node: Node) -> Column:
         """Conformed JSON text of a PRESENT variant value under ``node``;
@@ -210,35 +233,48 @@ def conform_json(
 
                 branches.append(bind(nested, _obj_branch(a)))
             elif isinstance(a, ArrayAlt):
-                arr = F.try_variant_get(kv, "$", "array<variant>")
                 if a.elems:
                     elem = a.elems[0]
                     elem_dflt = create_value(elem, _UNSET)
                     elem_fb = (F.lit(_dumps(elem_dflt))
                                if elem_dflt is not None
                                else F.lit("null"))
+                    null_fb = F.lit(_dumps(_null_coerced(elem)))
 
-                    def _elem_fn(el, fb):
-                        # element conform: render under the element schema,
-                        # unrenderable -> element default
+                    def _elem_fn(el, fb, nf):
+                        # element conform: a JSON null element (a present
+                        # VOID-typed variant) coerces per JS create(conf,
+                        # null); otherwise render under the element
+                        # schema, unrenderable -> element default
                         # (schisma.mjs:488-514). One-arg lambda (see
                         # _obj_branch note).
-                        return lambda e: F.coalesce(_render_value(e, el),
-                                                    fb)
+                        return lambda e: F.when(
+                            e.isNull()
+                            | (F.schema_of_variant(e) == "VOID"),
+                            nf,
+                        ).otherwise(F.coalesce(_render_value(e, el), fb))
 
-                    _elem = _elem_fn(elem, elem_fb)
+                    _elem = _elem_fn(elem, elem_fb, null_fb)
                 else:
                     def _elem(e: Column):
                         return F.to_json(e)  # [] schema: elements untyped
-                branches.append(F.when(
-                    arr.isNotNull(),
-                    # null_replacement: a JSON null element renders as
-                    # "null" — array_join SKIPS SQL-NULL elements otherwise
-                    F.concat(F.lit("["),
-                             F.array_join(F.transform(arr, _elem), ",",
-                                          "null"),
-                             F.lit("]")),
-                ))
+
+                def _arr_branch(elem_fn):
+                    # arr is let-bound: the variant get would otherwise run
+                    # twice (isNotNull gate + transform). null_replacement:
+                    # an untyped NULL element renders as "null" —
+                    # array_join SKIPS SQL-NULL elements otherwise
+                    return lambda a_: F.when(
+                        a_.isNotNull(),
+                        F.concat(F.lit("["),
+                                 F.array_join(F.transform(a_, elem_fn),
+                                              ",", "null"),
+                                 F.lit("]")),
+                    )
+
+                branches.append(
+                    bind(F.try_variant_get(kv, "$", "array<variant>"),
+                         _arr_branch(_elem)))
             elif isinstance(a, AtomAlt) and a.atom is not ta.NULL:
                 atoms.append(a.atom)
         if atoms:
@@ -249,7 +285,15 @@ def conform_json(
         return F.coalesce(*branches)
 
     def _obj_body(mv: Column, oalt: ObjectAlt) -> Column:
-        """'k:v,k2:v2' body text for one object level (no braces)."""
+        """'k:v,k2:v2' body text for one object level (no braces).
+
+        Absent key vs present JSON null are distinct (r4, ADVICE): in
+        ``map<string,variant>`` a JSON null parses to a present VOID-typed
+        variant (verified; same as the variant_validate.py contract), so
+        ``element_at`` NULL means ABSENT -> insert the create() default iff
+        required (schisma.mjs:445-452), while schema VOID means a present
+        null -> JS coercion of null via create(conf, null)
+        (see ``_null_coerced``)."""
         frags: list[Column] = []
         for k, child in oalt.fields.items():
             key_lit = _json.dumps(k) + ":"
@@ -264,13 +308,29 @@ def conform_json(
             coerce_frag = (F.lit(key_lit + _dumps(dflt))
                            if dflt is not None
                            else F.lit(None).cast("string"))
-            kv = F.element_at(mv, F.lit(k))
-            rendered = _render_value(kv, child)
+            null_frag = F.lit(key_lit + _dumps(_null_coerced(child)))
+
+            def _present_frag(ch, klit, df_, nf, cf):
+                # kv and the rendered chain are both let-bound: kv is an
+                # O(|map|) element_at referenced by every alternative, and
+                # rendered is the whole coercion chain (its isNotNull gate
+                # would re-evaluate it per row otherwise)
+                def inner(kv: Column) -> Column:
+                    return (
+                        F.when(kv.isNull(), df_)  # absent key
+                        .when(F.schema_of_variant(kv) == "VOID", nf)
+                        .otherwise(
+                            bind(_render_value(kv, ch),
+                                 lambda r: F.coalesce(
+                                     F.when(r.isNotNull(),
+                                            F.concat(F.lit(klit), r)),
+                                     cf))))
+                return inner
+
             frags.append(
-                F.when(kv.isNull(), dflt_frag)
-                .when(rendered.isNotNull(),
-                      F.concat(F.lit(key_lit), rendered))
-                .otherwise(coerce_frag)
+                bind(F.element_at(mv, F.lit(k)),
+                     _present_frag(child, key_lit, dflt_frag, null_frag,
+                                   coerce_frag))
             )
 
         # dynamic keys: keep regex-matched (or everything when
@@ -287,26 +347,33 @@ def conform_json(
                 cond = cond & pat_ok
             return cond
 
-        dyn = F.to_json(F.map_filter(mv, _dyn_keep))
-        frags.append(F.when(F.length(dyn) > 2,
-                            dyn.substr(F.lit(2), F.length(dyn) - F.lit(2))))
+        # dyn is let-bound: to_json(map_filter(..)) is referenced by the
+        # length gate and twice by the substr otherwise
+        frags.append(bind(
+            F.to_json(F.map_filter(mv, _dyn_keep)),
+            lambda d_: F.when(F.length(d_) > 2,
+                              d_.substr(F.lit(2),
+                                        F.length(d_) - F.lit(2)))))
         return F.array_join(
             F.filter(F.array(*frags), lambda x: x.isNotNull()), ","
         )
 
     col = F.col(json_col)
-    # ONE parse of the column: the variant map carries type-preserved
-    # values; nested levels re-view their subtree as map<string,variant>
-    mv = F.from_json(col, "map<string,variant>")
-    body = bind(mv, lambda m: _obj_body(m, alt))
     default_json = _dumps(
         {k: create_value(v, _UNSET) for k, v in alt.fields.items()
          if v.required},
     )
+    # ONE parse of the column (the malformed isNull gate lives INSIDE the
+    # bind — outside it, from_json ran twice per row, r4/ADVICE): the
+    # variant map carries type-preserved values; nested levels re-view
+    # their subtree as map<string,variant>
     out = (
         F.when(col.isNull(), F.lit(None).cast("string"))
-        .when(mv.isNull(), F.lit(default_json))  # malformed -> create()
-        .otherwise(F.concat(F.lit("{"), body, F.lit("}")))
+        .otherwise(bind(
+            F.from_json(col, "map<string,variant>"),
+            lambda m: F.when(m.isNull(), F.lit(default_json))  # malformed
+            .otherwise(F.concat(F.lit("{"), _obj_body(m, alt),
+                                F.lit("}")))))
         .alias(json_col)
     )
     return df.select(

@@ -91,18 +91,88 @@ def test_conform_json_matches_live_reference_run(spark):
 
 
 @pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_conform_json_null_scalars_match_live_reference(spark):
+    """Present JSON null scalars conform via JS coercion of null
+    (r4, ADVICE): the reference's create(conf, data=null) SKIPS a plain
+    $default (data !== undefined, schisma.mjs:542-544) and coerces —
+    Number(null)=0, String(null)='null' (typeof null is 'object' ->
+    JSON.stringify, schisma.mjs:591-596), Boolean(null)=false; a Null
+    union alternative matches null exactly so the value survives. Array
+    elements (PLAIN [T] form) coerce the same way.
+
+    Documented divergence NOT asserted here: a SchismaObject-WRAPPED
+    array ({$type:[String]}) misindexes its element target schema in
+    _conformFromErrors (schisma.mjs:456-476 -> 492-493) and replaces
+    mismatched elements with the Array create() '[]' — a sibling of the
+    array-of-objects crash above; the engine coerces elements uniformly
+    in both forms."""
+    script = """
+import(%r).then(m => {
+  const schisma = m.default
+  const sch = schisma({
+    k: Number, s: String, b: Boolean,
+    d: {$type: Number, $default: -1.0},
+    n: {$typeof: [Number, null], $required: false},
+  })
+  for (const o of %s) console.log(JSON.stringify(sch.conform(o)))
+  const schS = schisma({arr: [String]})
+  const schN = schisma({arr: [Number]})
+  console.log(JSON.stringify(schS.conform({arr: [null, 2, true]})))
+  console.log(JSON.stringify(schN.conform({arr: ["32", "whoops", null, true]})))
+})
+""" % (REF, json.dumps([
+        {"k": None, "s": None, "b": None, "d": None},
+        {"k": 1, "s": "x", "b": True, "d": 5, "n": None},
+        {"k": None},
+    ]))
+    out = subprocess.run(["node", "-e", script], capture_output=True,
+                         text=True, timeout=60, check=True)
+    ref = [json.loads(line) for line in out.stdout.strip().splitlines()]
+    assert len(ref) == 5
+
+    from schisma_spark import Field
+    from schisma_spark.dsl import Null
+
+    sch = schema({
+        "k": float, "s": str, "b": bool,
+        "d": Field(type=float, default=-1.0),
+        "n": Field(typeof=[float, Null], required=False),
+    })
+    df = spark.createDataFrame([
+        Row(id=0, p='{"k":null,"s":null,"b":null,"d":null}'),
+        Row(id=1, p='{"k":1,"s":"x","b":true,"d":5,"n":null}'),
+        Row(id=2, p='{"k":null}'),
+    ])
+    got = {r["id"]: json.loads(r["p"])
+           for r in conform_json(df, "p", sch).collect()}
+    for i in range(3):
+        assert got[i] == ref[i], f"input {i}: engine={got[i]} ref={ref[i]}"
+
+    sch_s = schema({"arr": [str]})
+    sch_n = schema({"arr": [float]})
+    df2 = spark.createDataFrame([Row(id=0, p='{"arr":[null,2,true]}')])
+    df3 = spark.createDataFrame(
+        [Row(id=0, p='{"arr":["32","whoops",null,true]}')])
+    got_s = json.loads(conform_json(df2, "p", sch_s).collect()[0]["p"])
+    got_n = json.loads(conform_json(df3, "p", sch_n).collect()[0]["p"])
+    assert got_s == ref[3], f"engine={got_s} ref={ref[3]}"
+    assert got_n == ref[4], f"engine={got_n} ref={ref[4]}"
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
 def test_conform_json_randomized_parity_sweep(spark):
     """Seeded randomized sweep: 48 generated documents conformed by BOTH
-    engines (one node run, one Spark job), compared structurally. Shapes
-    the reference itself cannot conform (array-of-objects elements, scalar
-    where an object is expected, JSON null scalars, unions) are excluded —
+    engines (one node run, one Spark job), compared structurally. JSON
+    null scalars are INCLUDED since r4 (present null -> JS coercion of
+    null). Shapes the reference itself cannot conform (array-of-objects
+    elements, scalar where an object is expected, unions) are excluded —
     those are covered by the targeted tests above."""
     import random
 
     rng = random.Random(7)
-    a_pool = [0, 3, -1.5, "7", "abc", "", True, False, {"x": 1}]
-    ba_pool = [5, 5.5, "x", True, {"y": 2}, ""]
-    bb_elem = [True, False, 0, 1, 2, "", "z"]
+    a_pool = [0, 3, -1.5, "7", "abc", "", True, False, {"x": 1}, None]
+    ba_pool = [5, 5.5, "x", True, {"y": 2}, "", None]
+    bb_elem = [True, False, 0, 1, 2, "", "z", None]
     junk_pool = [1, "j", True]
 
     inputs = []
