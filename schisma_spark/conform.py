@@ -76,20 +76,45 @@ def default_literal(node: Node, populate_arrays: bool = False) -> Column:
     )
 
 
-_ATOMICS = (T.NumericType, T.StringType, T.BooleanType, T.TimestampType,
-            T.TimestampNTZType, T.DateType)
+def _atomic_group(t: T.DataType) -> str | None:
+    if isinstance(t, T.NumericType):
+        return "num"
+    if isinstance(t, T.StringType):
+        return "str"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, T.TimestampType):
+        return "ts"
+    if isinstance(t, T.TimestampNTZType):
+        return "ntz"
+    return None
+
+
+# Atomic pairs whose try_cast ANALYZES on Spark 4.1.2 beyond same-group and
+# string inter-cast (measured over the full cross product, r4/ADVICE —
+# boolean<->date/timestamp and numeric<->date fail ANALYSIS, they don't
+# return NULL, so listing them would raise at plan time)
+_ATOMIC_CASTS = frozenset([
+    ("num", "bool"), ("bool", "num"), ("num", "ts"), ("ts", "num"),
+    ("date", "ts"), ("ts", "date"), ("date", "ntz"), ("ntz", "date"),
+    ("ts", "ntz"), ("ntz", "ts"),
+])
 
 
 def _castable(src: T.DataType, dst: T.DataType) -> bool:
     """Driver-side "will ``try_cast`` analyze" check for union-field
-    reconciliation: atomics inter-cast (NULL on runtime failure), arrays and
+    reconciliation: atomics inter-cast only along measured-analyzable
+    pairs (``_ATOMIC_CASTS``; NULL on runtime failure), arrays and
     same-arity structs recurse; shape-changing casts (struct<->atomic,
-    map<->array, ...) would fail analysis, so the caller falls back to NULL
-    for those."""
+    map<->array, boolean<->date, ...) would fail analysis, so the caller
+    falls back to NULL for those."""
     if src == dst or isinstance(dst, T.StringType):
         return True
-    if isinstance(src, _ATOMICS) and isinstance(dst, _ATOMICS):
-        return True
+    s, d = _atomic_group(src), _atomic_group(dst)
+    if s is not None and d is not None:
+        return s == d or s == "str" or (s, d) in _ATOMIC_CASTS
     if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
         return _castable(src.elementType, dst.elementType)
     if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
@@ -308,7 +333,11 @@ class Conformer:
             ) else F.encode(c.cast("string"), "UTF-8"), odt
         if atom is ta.DATE:
             odt = T.DateType()
-            return c.try_cast(odt), odt
+            # boolean/numeric -> date fails ANALYSIS (not runtime-NULL);
+            # only measured-analyzable sources may try_cast (r4/ADVICE)
+            if _castable(dtype, odt):
+                return c.try_cast(odt), odt
+            return F.lit(None).cast(odt), odt
         return dl(), atom.spark_type
 
     # -- repair within a statically-matching alternative ---------------------

@@ -130,9 +130,14 @@ def stateful_exact_dedup_stream(
     fingerprint appears emits an updated ``fp, first_id, n_dupes, is_new``
     row (update output mode): ``is_new`` marks the batch that saw the
     fingerprint first, ``first_id`` is pinned to the smallest id of that
-    first batch (deterministic), ``n_dupes`` is the lifetime count. State
-    lives in the checkpoint, so a restarted query keeps recognizing
-    duplicates of keys seen before the restart.
+    first batch (deterministic, under the id column's NATIVE ordering —
+    numeric ids compare numerically, strings lexicographically), ``n_dupes``
+    is the lifetime count. State lives in the checkpoint, so a restarted
+    query keeps recognizing duplicates of keys seen before the restart.
+
+    The out/state schemas are derived from ``stream_df.schema`` (r4,
+    ADVICE): any fp/id column types work — they are carried through
+    verbatim, not forced to long/string.
 
     Scale shape: one shuffle on ``fp`` per batch (the stateful exchange);
     state size = O(distinct fingerprints), the same footprint the batch
@@ -142,14 +147,16 @@ def stateful_exact_dedup_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    fp_type = stream_df.schema[fp_col].dataType
+    id_type = stream_df.schema[id_col].dataType
     out_schema = T.StructType([
-        T.StructField("fp", T.LongType()),
-        T.StructField("first_id", T.StringType()),
+        T.StructField("fp", fp_type),
+        T.StructField("first_id", id_type),
         T.StructField("n_dupes", T.LongType()),
         T.StructField("is_new", T.BooleanType()),
     ])
     state_schema = T.StructType([
-        T.StructField("first_id", T.StringType()),
+        T.StructField("first_id", id_type),
         T.StructField("n_seen", T.LongType()),
     ])
 
@@ -160,7 +167,7 @@ def stateful_exact_dedup_stream(
             if len(pdf) == 0:
                 continue
             n_batch += len(pdf)
-            m = pdf[id_col].astype(str).min()
+            m = pdf[id_col].min()  # native dtype ordering
             batch_min = m if batch_min is None else min(batch_min, m)
         if n_batch == 0:
             return

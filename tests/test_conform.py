@@ -198,3 +198,48 @@ def test_union_object_conflicting_field_types_try_cast(spark):
     # the union's double instead of nulled
     assert out[2]["b"] == 2.0 and out[2]["x"] == 5.0
     assert out[3]["x"] is None  # genuinely uncastable value -> NULL
+
+
+def test_union_object_boolean_date_conflict_plans(spark):
+    """r3 ADVICE: _castable used to claim ANY atomic pair inter-casts, but
+    Spark's try_cast fails ANALYSIS (not runtime-NULL) for boolean<->date/
+    timestamp and numeric<->date — a union typing the same field boolean in
+    one alternative and date in another raised AnalysisException at plan
+    time. Those pairs must plan and fall back to NULL."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [Row(id=1, u=Row(a=1.0, x=True)),
+         Row(id=2, u=Row(a=None, x=False))],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("u", T.StructType([
+                T.StructField("a", T.DoubleType()),
+                T.StructField("x", T.BooleanType()),
+            ])),
+        ]),
+    )
+    sch = schema({"u": Field(typeof=[
+        {"a": float, "x": bool},                # registers x as boolean
+        {"a": float, "x": T.DateType()},        # conflicting date branch
+    ])})
+    out = {r["id"]: r["u"] for r in sch.conform(df, keys=["id"]).collect()}
+    assert out[1].asDict() == {"a": 1.0, "x": True}
+
+    # and the mirrored registration order (x lands as date first)
+    df2 = spark.createDataFrame(
+        [Row(id=1, u=Row(a=1.0, x=dt.date(2020, 1, 2)))],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("u", T.StructType([
+                T.StructField("a", T.DoubleType()),
+                T.StructField("x", T.DateType()),
+            ])),
+        ]),
+    )
+    sch2 = schema({"u": Field(typeof=[
+        {"a": float, "x": T.DateType()},
+        {"a": float, "x": bool},
+    ])})
+    out2 = {r["id"]: r["u"] for r in sch2.conform(df2, keys=["id"]).collect()}
+    assert out2[1].asDict() == {"a": 1.0, "x": dt.date(2020, 1, 2)}

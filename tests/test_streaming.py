@@ -152,3 +152,30 @@ def test_stateful_exact_dedup_stream(spark, tmp_path):
     assert r2[1]["first_id"] == "a1"   # pinned at first sight
     assert r2[3]["is_new"] and r2[3]["n_dupes"] == 1
     assert 2 not in r2                 # no new occurrences -> no emission
+
+
+def test_stateful_dedup_stream_derives_schema_types(spark, tmp_path):
+    """r4 ADVICE: out/state schemas come from stream_df.schema, so a
+    string fingerprint + numeric id works — and first_id uses the id's
+    NATIVE ordering (9 < 10 numerically, not lexicographically)."""
+    from schisma_spark.streaming import stateful_exact_dedup_stream
+
+    inp = str(tmp_path / "dd2_in")
+    ck = str(tmp_path / "dd2_ck")
+    spark.createDataFrame(
+        [("x", 10), ("x", 9), ("y", 7)], "fp string, id long"
+    ).write.mode("overwrite").parquet(inp)
+
+    rows = []
+    stream = spark.readStream.schema("fp string, id long").parquet(inp)
+    out = stateful_exact_dedup_stream(stream, "fp", "id")
+    q = (
+        out.writeStream
+        .foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(120)
+    got = {r["fp"]: r for r in rows}
+    assert got["x"]["n_dupes"] == 2 and got["x"]["first_id"] == 9
+    assert got["y"]["n_dupes"] == 1 and got["y"]["first_id"] == 7
