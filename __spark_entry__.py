@@ -196,7 +196,7 @@ def q_rollup_metrics(spark, sf):
 
 
 def q_text_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         token_count_ws(F.col("text")).cast("long").alias("tok_ws"),
@@ -210,7 +210,7 @@ def q_text_stats(spark, sf):
 def q_dedup_prefix(spark, sf):
     from schisma_spark.functions.dedup import exact_dup_groups
 
-    d = _t(spark, sf, "documents").select(
+    d = fan_out(_t(spark, sf, "documents")).select(
         "doc_id", F.substring("text", 1, 50).alias("prefix")
     )
     g = exact_dup_groups(d, "prefix", "doc_id")
@@ -219,7 +219,7 @@ def q_dedup_prefix(spark, sf):
 
 
 def q_minhash_sigs(spark, sf):
-    d = _t(spark, sf, "documents").where(F.col("doc_id") % 25 == 0)
+    d = fan_out(_t(spark, sf, "documents").where(F.col("doc_id") % 25 == 0))
     sig = minhash_signature(word_shingles(F.col("text"), 3), n_hashes=8)
     return d.select(
         "doc_id",
@@ -229,7 +229,7 @@ def q_minhash_sigs(spark, sf):
 
 
 def q_jaccard_pairs(spark, sf):
-    d = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
+    d = fan_out(_t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0))
     s = d.select("doc_id", "lang", word_shingles(F.col("text"), 3).alias("sh"))
     a = s.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
                  F.col("sh").alias("sh_a"))
@@ -243,7 +243,7 @@ def q_jaccard_pairs(spark, sf):
 
 
 def q_simhash(spark, sf):
-    d = _t(spark, sf, "documents").where(F.col("doc_id") % 25 == 0)
+    d = fan_out(_t(spark, sf, "documents").where(F.col("doc_id") % 25 == 0))
     return d.select("doc_id", simhash(F.col("text")).cast("long").alias("sim"))
 
 
@@ -253,14 +253,14 @@ def q_simhash_near_dups(spark, sf):
     verifies. Portable md5 hashing keeps the DuckDB twin exact."""
     from schisma_spark.functions.dedup import simhash_near_dups
 
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"))
     out = simhash_near_dups(d, "text", "doc_id", max_hamming=3)
     return out.select("id_a", "id_b",
                       F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_ann_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = fan_out(_t(spark, sf, "embeddings"))
     probes = emb.where(F.col("vec_id") % 50 == 0)
     out = brute_force_topk(emb, probes, "vec_id", "embedding", k=5, round_to=6)
     return out.select("probe_id", "neighbor_id", "cos",
@@ -479,7 +479,7 @@ def q_hll_distinct_check(spark, sf):
 
 
 def q_lang_quality_agg(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"))
     return (
         d.select(lang_id(F.col("text")).alias("lang_guess"),
                  quality_score(F.col("text")).alias("q"))
@@ -497,7 +497,7 @@ def q_lsh_ann_topk(spark, sf):
     """Multi-table hyperplane-LSH ANN — oracle-able since r2: the md5-derived
     hyperplanes are deterministic driver literals, so DuckDB recomputes the
     exact bucket/candidate sets (coefficients embedded in the oracle SQL)."""
-    emb = _t(spark, sf, "embeddings")
+    emb = fan_out(_t(spark, sf, "embeddings"))
     probes = emb.where(F.col("vec_id") % 50 == 0)
     out = lsh_ann_topk(emb, probes, "vec_id", "embedding", dim=64, k=5,
                        n_tables=8, n_planes=3)
@@ -508,7 +508,7 @@ def q_lsh_ann_topk(spark, sf):
 def q_lsh_ann_recall(spark, sf):
     """Recall of the LSH scale path vs the exact brute-force baseline at
     k=5 (one row, ``recall`` in [0,1]) — the judge-requested quality row."""
-    emb = _t(spark, sf, "embeddings")
+    emb = fan_out(_t(spark, sf, "embeddings"))
     probes = emb.where(F.col("vec_id") % 50 == 0)
     lsh = lsh_ann_topk(emb, probes, "vec_id", "embedding", dim=64, k=5,
                        n_tables=8, n_planes=3).select("probe_id",
@@ -531,7 +531,7 @@ def q_ivf_ann_topk(spark, sf):
     recomputes the same codebook/assignment from the same sample rule."""
     from schisma_spark.functions.similarity import ivf_ann_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = fan_out(_t(spark, sf, "embeddings"))
     probes = emb.where(F.col("vec_id") % 50 == 0)
     out = ivf_ann_topk(emb, probes, "vec_id", "embedding", dim=64, k=5,
                        n_centroids=16, n_probe=4)
@@ -545,7 +545,7 @@ def q_cosine_near_dups(spark, sf):
     embeddings table augmented with planted exact duplicates (vec_id%25
     copies at +100000). Oracle recomputes buckets from the same md5-derived
     hyperplane literals."""
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(_t(spark, sf, "embeddings").select("vec_id", "embedding"))
     dups = emb.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     aug = emb.unionByName(dups)
@@ -554,7 +554,7 @@ def q_cosine_near_dups(spark, sf):
 
 
 def q_minhash_near_dups(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"))
     return minhash_near_dups(d, "text", "doc_id", threshold=0.2,
                              n_hashes=16, bands=4)
 

@@ -61,13 +61,8 @@ def ensure_images(spark, n: int) -> str:
 
 
 def main():
-    # 16 MB splits: stops FilePartition packing from binning several ~13 MB
-    # image files into one 128 MB split (which would starve cores on pruned
-    # slices); payload rows parallelize via file splits, never a shuffle
     spark = build_session(app="schisma-bench", master=f"local[{CPUS}]",
-                          arrow_batch_rows=4096,
-                          extra={"spark.sql.files.maxPartitionBytes":
-                                 str(16 * 1024 * 1024)})
+                          arrow_batch_rows=4096)
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}
 
@@ -138,6 +133,17 @@ def main():
     # cores with no shuffle. (A pruned sample + repartition measured 7x
     # slower per row — the shuffle of fat binary rows and the straggler
     # tail dominate; at real scale you decode everything anyway.)
+    #
+    # 16 MB splits are scoped to the DECODE timings only (r3 VERDICT #3):
+    # they stop FilePartition packing from binning several ~13 MB image
+    # files into one 128 MB split (which starves cores on pruned slices),
+    # but session-wide they taxed every NARROW metadata scan of the same
+    # 256-file cache with 8x the tasks (+40..138% on uniqueness/validate/
+    # exact-dedup walls). The conf is read at PLAN time, so set/restore
+    # around the decode actions is exact.
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(16 * 1024 * 1024))
     timed(
         "image_decode_psnr",
         lambda: decode_validate(imgs)
@@ -158,6 +164,7 @@ def main():
         .agg(F.sum(F.col("decode_ok").cast("long"))).collect(),
         rows=n_q,
     )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     # stats path at 4x rows: metadata-only table (bytes never exist), same
     # fused validate+verdicts plan
     n_x4 = N_IMAGES * 4
@@ -197,11 +204,17 @@ def main():
         rows=N_IMAGES,
     )
     from schisma_spark.functions.dedup import minhash_signature, word_shingles
+    from schisma_spark.sources import fan_out
 
+    # md5-heavy signature stages want full parallelism: with default
+    # 128 MB splits the 256-file cache packs to ~26 tasks (cores idle on
+    # the expression-heavy stage) — fan_out repartitions the narrow
+    # caption rows up to session parallelism (structural no-op at scale)
+    caps_fo = fan_out(caps)
     sig = minhash_signature(word_shingles(F.col("caption"), 2), n_hashes=16)
     timed(
         "caption_minhash_sigs",
-        lambda: caps.select(sig.alias("s"))
+        lambda: caps_fo.select(sig.alias("s"))
         .agg(F.count(F.lit(1)), F.min(F.element_at(F.col("s"), 1))).collect(),
         rows=N_IMAGES,
     )
@@ -211,7 +224,7 @@ def main():
                               n_hashes=16, hasher="native")
     timed(
         "caption_minhash_sigs_native",
-        lambda: caps.select(sig_n.alias("s"))
+        lambda: caps_fo.select(sig_n.alias("s"))
         .agg(F.count(F.lit(1)), F.min(F.element_at(F.col("s"), 1))).collect(),
         rows=N_IMAGES,
     )
@@ -278,6 +291,20 @@ def main():
             for q, t in timings.items() if q in prev_queries
         }
     print(json.dumps(out))
+    # Compact twin as the LAST stdout line (r3 VERDICT #2): the full line
+    # above outgrew the driver's tail-capture window in r3 ("parsed":
+    # null — the FRONT of the line, suite wall included, was cut off).
+    # The tail must always end with one short parseable record: suite
+    # wall + rounded per-query walls only.
+    compact = {
+        "metric": "validation_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
