@@ -259,6 +259,23 @@ def q_simhash_near_dups(spark, sf):
                       F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_simhash64_near_dups(spark, sf):
+    """Wide-SimHash near-dup pairs (r4 — the scale-correct banding): 60-bit
+    portable signatures, 16-BIT bands (65,536 values/band vs the byte
+    scheme's 256 — see functions/dedup.simhash64_near_dups for the bucket
+    cardinality math). Planted exact copies (doc_id%25 at +1000000)
+    guarantee hamming-0 pairs; the d<=3 pigeonhole holds for any pair."""
+    from schisma_spark.functions.dedup import simhash64_near_dups
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    dups = d.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    out = simhash64_near_dups(d.unionByName(dups), "text", "doc_id",
+                              max_hamming=3)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_ann_topk(spark, sf):
     emb = fan_out(_t(spark, sf, "embeddings"))
     probes = emb.where(F.col("vec_id") % 50 == 0)
@@ -578,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
+        "simhash64_near_dups": q_simhash64_near_dups,
         "ann_topk": q_ann_topk,
         "lang_quality_agg": q_lang_quality_agg,
         "validate_json_events": q_validate_json_events,
@@ -841,6 +859,18 @@ def oracle_sql() -> dict[str, str]:
         )
     simhash_expr = " + ".join(simhash_bits)
 
+    # 60-bit portable simhash (hash60 per token) for the 16-bit-band twin
+    _H60 = "('0x'||substr(md5({x}),1,15))::int64"
+    simhash64_bits = []
+    for b in range(60):
+        simhash64_bits.append(
+            "(CASE WHEN coalesce(list_sum(list_transform(w, t -> "
+            f"CASE WHEN (({_H60.format(x='t')}) >> {b}) & 1 = 1 "
+            "THEN 1 ELSE -1 END)), 0) > 0 "
+            f"THEN {2**b}::bigint ELSE 0::bigint END)"
+        )
+    simhash64_expr = " + ".join(simhash64_bits)
+
     return {
         "stats_lineitem": " UNION ALL ".join(
             stats_one.format(c=c)
@@ -985,6 +1015,36 @@ def oracle_sql() -> dict[str, str]:
             banded AS (
               SELECT doc_id, sim, b AS band_idx,
                      (sim >> (8*b)) & 255 AS band_val
+              FROM s CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) t
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sim AS sa, b.sim AS sb
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::int AS hamming
+            FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "simhash64_near_dups": f"""
+            -- 16-bit-band pigeonhole over the 60-bit portable simhash
+            -- (the scale-correct banding, r4): d<=3 forces agreement on
+            -- >=1 of 4 16-bit bands; exact hamming verifies. Corpus =
+            -- documents + exact copies of doc_id%25 at +1000000
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 25 = 0
+            ),
+            s AS (
+              SELECT doc_id, ({simhash64_expr})::bigint AS sim
+              FROM (SELECT doc_id, {_WORDS} AS w FROM d)
+            ),
+            banded AS (
+              SELECT doc_id, sim, b AS band_idx,
+                     (sim >> (16*b)) & 65535 AS band_val
               FROM s CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) t
             ),
             cands AS (

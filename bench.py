@@ -252,7 +252,8 @@ def main():
         "text_stats", "minhash_near_dups", "ann_topk",
         "lsh_ann_topk", "ivf_ann_topk", "conform_json_events",
         "validate_variant_events", "recursive_validate",
-        "simhash_near_dups", "conform_variant_events",
+        "simhash_near_dups", "simhash64_near_dups",
+        "conform_variant_events",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

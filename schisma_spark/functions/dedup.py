@@ -281,6 +281,104 @@ def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash64(c: Column, hasher: str = "portable") -> Column:
+    """Wide SimHash — the 100-TB-scale signature (r3 VERDICT #4).
+
+    ``hasher='native'``: per-token ``xxhash64`` -> full 64-bit signature
+    (sign bit included; the signed long is just a 64-bit pattern).
+    ``hasher='portable'``: per-token ``hash60`` (15-hex-char md5 prefix,
+    DuckDB twin) -> 60 effective bits, top 4 always zero.
+
+    Bit weights compose via ``bitwiseOR(shiftleft(1, b))`` — a ``2**b``
+    Python literal overflows the signed long at b=63. One let-bound
+    projection, exactly like ``simhash``."""
+    from schisma_spark.functions.portable import hash60
+
+    if hasher == "native":
+        bits, per_tok = 64, (lambda t: F.xxhash64(t))
+    else:
+        bits, per_tok = 60, hash60
+
+    def per_bits(hashes: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            # plain closure over b — a default-arg capture would raise the
+            # lambda's arity to 3 and break F.aggregate; safe because
+            # F.aggregate invokes the lambda immediately at build time
+            s = F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            out = out.bitwiseOR(
+                F.when(s > 0,
+                       F.shiftleft(F.lit(1).cast("long"), b))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return out
+
+    return bind(F.transform(words(c), per_tok), per_bits)
+
+
+def simhash64_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hasher: str = "portable",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """64-bit SimHash near-duplicate pairs with 16-BIT bands — the
+    scale-correct banding (r3 VERDICT #3/#4): ``id_a, id_b, hamming``.
+
+    Bucket-cardinality math: banding keys candidates on
+    (band_idx, band_val), so the number of distinct buckets bounds the
+    parallel fan-out AND the per-bucket occupancy. 8-bit bands of a
+    32-bit signature give <= 4 * 256 = 1,024 buckets total — at N docs
+    every bucket holds ~N/256 rows and the self-join builds
+    O(N^2/256) pairs REGARDLESS of corpus content; no cap can fix that
+    without discarding nearly all recall. 16-bit bands give
+    4 * 65,536 = 262,144 buckets (~N/65,536 rows per bucket,
+    O(N^2/65,536) worst-case pairs — 256x less), and the band value
+    space grows with signature width if ever needed again. The
+    pigeonhole guarantee is unchanged: d <= 3 differing bits cannot
+    land in 4 distinct 16-bit bands, so near-dup pairs share at least
+    one band value; exact ``bit_count(xor)`` verifies.
+
+    Portable hasher: 60-bit signatures leave the top band (bits 48..63)
+    with 12 effective bits (4,096 values) — still 16x the 8-bit scheme.
+    Production path is ``hasher='native'`` (full 64 bits, fully
+    code-generated xxhash64).
+    """
+    sig = simhash64(F.col(text_col), hasher=hasher)
+    s = df.select(F.col(id_col).alias("_id"), sig.alias("sig"))
+    bands = F.array(*[
+        F.shiftright("sig", 16 * b).bitwiseAND(F.lit(0xFFFF)).cast("int")
+        for b in range(4)
+    ])
+    banded = s.select(
+        "_id", "sig", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    banded = cap_bucket_size(banded, ["band_idx", "band_val"], "_id",
+                             max_bucket_size)
+    a = banded.select("band_idx", "band_val", F.col("_id").alias("id_a"),
+                      F.col("sig").alias("sig_a"))
+    b = banded.select("band_idx", "band_val", F.col("_id").alias("id_b"),
+                      F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                .alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str,
@@ -299,6 +397,12 @@ def simhash_near_dups(
     exact ``bit_count(xor)`` verifies. ``max_hamming`` above 3 weakens the
     guarantee (recall, not correctness, of the banding); raise bands by
     splitting nibbles if a looser radius ever matters.
+
+    SCALE CEILING (r3 VERDICT): 8-bit bands take <= 256 values, so bucket
+    occupancy grows O(N) and the self-join O(N^2/256) — fine at test SF,
+    wrong at 10^12 docs. The production path is ``simhash64_near_dups``
+    (16-bit bands, 65,536 values per band); this 32-bit variant stays as
+    the byte-band oracle twin.
     """
     sig = simhash(F.col(text_col), hasher=hasher)
     s = df.select(F.col(id_col).alias("_id"), sig.alias("sig"))

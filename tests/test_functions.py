@@ -301,3 +301,40 @@ def test_simhash_near_dups_planted(spark):
             .where(F.col("h") <= 3).collect())
     assert {(r["id_a"], r["id_b"]): r["h"] for r in allp} == got
     assert (0, 1) in got  # the planted one-word edit
+
+
+@pytest.mark.parametrize("hasher", ["portable", "native"])
+def test_simhash64_near_dups_matches_brute_force(spark, hasher):
+    """r4 (the scale-correct banding): 16-bit-band candidates over the
+    64/60-bit simhash must EXACTLY reproduce the exhaustive all-pairs
+    hamming<=3 set — the d<=3 pigeonhole guarantees no candidate is
+    missed, the bit_count verify guarantees none is spurious. Runs for
+    both the portable (hash60) and native (xxhash64) hashers."""
+    from schisma_spark.functions.dedup import simhash64, simhash64_near_dups
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green woods tonight")
+    rows = [Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base.replace("tonight", "today")),
+            Row(doc_id=2, text=base)]  # exact copy -> hamming 0
+    rows += [Row(doc_id=i, text=f"document number {i} totally different "
+                                f"content {i*7} unrelated words {i*13}")
+             for i in range(3, 40)]
+    df = spark.createDataFrame(rows)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash64_near_dups(df, "text", "doc_id", max_hamming=3,
+                                        hasher=hasher).collect()}
+    s = df.select("doc_id", simhash64(F.col("text"), hasher=hasher).alias("s"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    allp = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                    .alias("h"))
+            .where(F.col("h") <= 3).collect())
+    assert {(r["id_a"], r["id_b"]): r["h"] for r in allp} == got
+    assert got[(0, 2)] == 0          # planted exact copy
+    # the one-word edit stays within d<=3 on the wide signature too for
+    # this corpus — and MUST then be found by the banding
+    if (0, 1) in {(r["id_a"], r["id_b"]) for r in allp}:
+        assert (0, 1) in got
