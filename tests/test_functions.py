@@ -338,3 +338,40 @@ def test_simhash64_near_dups_matches_brute_force(spark, hasher):
     # this corpus — and MUST then be found by the banding
     if (0, 1) in {(r["id_a"], r["id_b"]) for r in allp}:
         assert (0, 1) in got
+
+
+def test_lsh_bucket_stats_and_plane_suggestion(spark):
+    """r3 VERDICT #5: the occupancy report must account for every row in
+    every table and expose the skew signal that drives n_planes; the
+    sizing rule follows m = ceil(log2(N / target))."""
+    import numpy as np
+
+    from schisma_spark.functions.similarity import (
+        lsh_bucket_stats, suggest_n_planes,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=16)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    stats = lsh_bucket_stats(df, "embedding", dim=16, n_tables=4,
+                             n_planes=3).collect()
+    assert [r["table_id"] for r in stats] == [0, 1, 2, 3]
+    for r in stats:
+        assert r["n_rows"] == 200          # every row lands in one bucket
+        assert 1 <= r["n_buckets"] <= 8    # 2^3 buckets max per table
+        assert r["max_bucket"] >= r["p99_bucket"] >= r["p50_bucket"] >= 1
+        assert abs(r["avg_bucket"] - 200 / r["n_buckets"]) < 1e-9
+
+    # constant embeddings: all mass in ONE bucket per table -> the skew
+    # signal the docstrings tell users to watch
+    const = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0] * 16) for i in range(50)])
+    cstats = lsh_bucket_stats(const, "embedding", dim=16, n_tables=2,
+                              n_planes=3).collect()
+    assert all(r["n_buckets"] == 1 and r["max_bucket"] == 50 for r in cstats)
+
+    assert suggest_n_planes(10**12, 1024) == 30
+    assert suggest_n_planes(2048, 1024) == 1
+    assert suggest_n_planes(100, 1024) == 1
+    assert suggest_n_planes(10**6, 1000) == 10
