@@ -73,6 +73,71 @@ def test_validate_variant_matches_live_reference_run(spark):
 
 
 @pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_validate_randomized_regex_key_sweep(spark):
+    """r3 VERDICT #7: seeded randomized VALIDATE sweep incl. ``$/``-regex
+    keys (reference runtime loop schisma.mjs:256-295) against a LIVE
+    reference run — 60 documents, fixed+regex schema, per-key
+    best-of-matching-patterns, cross-pattern keys, JSON nulls, junk keys.
+    Compared on sorted (code, where) pairs per document."""
+    import random
+
+    script = """
+import(%r).then(m => {
+  const schisma = m.default
+  const sch = schisma({
+    a: Number,
+    "$/^x_": [Number, Boolean],
+    "$/_s$": [String],
+  })
+  const inputs = %s
+  for (const o of inputs) {
+    const errs = sch.validate(o).map(e => ({code: e.code, where: e.where}))
+    console.log(JSON.stringify(errs))
+  }
+})
+"""
+    rng = random.Random(13)
+    val_pool = [0, 7, -2.5, "txt", "", True, False, None]
+    key_pool = ["x_1", "x_2", "x_9", "foo_s", "bar_s", "x_a_s",  # x_a_s
+                "zz", "junk"]  # matches BOTH patterns; zz/junk match none
+    inputs = []
+    for _ in range(60):
+        o = {}
+        if rng.random() < 0.8:
+            o["a"] = rng.choice(val_pool)
+        for k in key_pool:
+            if rng.random() < 0.35:
+                o[k] = rng.choice(val_pool)
+        inputs.append(o)
+
+    out = subprocess.run(["node", "-e", script % (REF, json.dumps(inputs))],
+                         capture_output=True, text=True, timeout=120,
+                         check=True)
+    ref = [sorted((e["code"], e["where"]) for e in json.loads(line))
+           for line in out.stdout.strip().splitlines()]
+    assert len(ref) == len(inputs)
+    # non-vacuous: the seeded corpus must actually exercise violations
+    assert sum(1 for r in ref if r) >= 15
+    assert {c for r in ref for c, _ in r} >= {"no match", "missing key",
+                                              "unexpected key"}
+
+    sch = schema({"a": float, "$/^x_": [Field(typeof=[float, bool])],
+                  "$/_s$": [str]})
+    df = spark.createDataFrame(
+        [Row(id=i, p=json.dumps(o)) for i, o in enumerate(inputs)]
+    )
+    res = validate_variant(df, "p", sch, keys=["id"])
+    got: dict[int, list] = {i: [] for i in range(len(inputs))}
+    for r in res.violations.collect():
+        got[r["id"]].append((r["code"], r["where"]))
+    mismatches = [
+        (i, inputs[i], sorted(got[i]), ref[i])
+        for i in range(len(inputs)) if sorted(got[i]) != ref[i]
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
 def test_create_matches_live_reference_run():
     """create() parity against a live reference run, both option settings
     (populateArrays toggles default instances inside arrays). Driver-side
