@@ -119,7 +119,12 @@ def conform_json(
     alternative coerces to the child's ``create()`` default (NO_MATCH ->
     ``create(conf, data)``, schisma.mjs:426-431). Output key order is
     deterministic at every level: fixed keys in schema order, then kept
-    dynamic keys in input order. The output column keeps its name AND
+    dynamic keys in input order. Regex-matched dynamic keys are KEPT with
+    values type-preserved — the reference CRASHES conforming a
+    regex-matched value that mismatches its pattern schema (TypeError in
+    ``_conformFromErrors``, ``type[err.where]`` undefined for regex keys;
+    live-asserted in tests/test_reference_live_parity.py), so this is the
+    engine's own defined repair. The output column keeps its name AND
     position; malformed JSON is replaced by the schema's create() JSON.
     One projection, JVM-side — recursion depth is the SCHEMA's (static),
     never the data's."""

@@ -160,6 +160,40 @@ import(%r).then(m => {
 
 
 @pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_conform_regex_key_value_reference_crashes_engine_repairs(spark):
+    """Conforming a regex-matched key whose VALUE mismatches its pattern
+    schema CRASHES the reference (TypeError in _conformFromErrors:
+    ``type[err.where]`` is undefined for regex-matched keys — a sibling
+    of the array-of-objects crash), while a MATCHING value passes
+    through. No parity target exists for the mismatch case; the engine's
+    documented repair is to KEEP regex-matched dynamic keys with their
+    values type-preserved."""
+    script = """
+import(%r).then(m => {
+  const schisma = m.default
+  const sch = schisma({a: Number, "$/^x_": [String]})
+  for (const o of [{a: 1, x_1: 5}, {a: 1, x_2: "ok"}]) {
+    try { console.log(JSON.stringify(sch.conform(o))) }
+    catch (e) { console.log("CRASH " + e.constructor.name) }
+  }
+})
+""" % REF
+    out = subprocess.run(["node", "-e", script], capture_output=True,
+                         text=True, timeout=60, check=True)
+    lines = out.stdout.strip().splitlines()
+    assert lines[0] == "CRASH TypeError"
+    assert json.loads(lines[1]) == {"a": 1, "x_2": "ok"}
+
+    sch = schema({"a": float, "$/^x_": [str]})
+    df = spark.createDataFrame([Row(id=0, p='{"a":1,"x_1":5}'),
+                                Row(id=1, p='{"a":1,"x_2":"ok"}')])
+    got = {r["id"]: json.loads(r["p"])
+           for r in conform_json(df, "p", sch).collect()}
+    assert got[0] == {"a": 1.0, "x_1": 5}    # engine repairs, keeps value
+    assert got[1] == {"a": 1.0, "x_2": "ok"}  # matches reference
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
 def test_conform_json_randomized_parity_sweep(spark):
     """Seeded randomized sweep: 48 generated documents conformed by BOTH
     engines (one node run, one Spark job), compared structurally. JSON
