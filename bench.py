@@ -209,8 +209,10 @@ def main():
     # md5-heavy signature stages want full parallelism: with default
     # 128 MB splits the 256-file cache packs to ~26 tasks (cores idle on
     # the expression-heavy stage) — fan_out repartitions the narrow
-    # caption rows up to session parallelism (structural no-op at scale)
-    caps_fo = fan_out(caps)
+    # caption rows. 4x cores (not 1x): per-row cost varies with caption
+    # length, so exactly-one-task-per-core has no slack and the longest
+    # task sets the wall; smaller tasks rebalance the tail
+    caps_fo = fan_out(caps, CPUS * 4)
     sig = minhash_signature(word_shingles(F.col("caption"), 2), n_hashes=16)
     timed(
         "caption_minhash_sigs",
