@@ -576,6 +576,23 @@ def q_minhash_near_dups(spark, sf):
                              n_hashes=16, bands=4)
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTER assignment (r4): connected components over the
+    minhash near-dup pair graph — the step that turns pairs into
+    keep/drop decisions (component = smallest reachable doc_id = the
+    canonical doc). Min-label propagation to a fixpoint, one shuffle per
+    round, localCheckpoint'd rounds (functions/dedup.connected_components);
+    oracle recomputes via a recursive transitive closure."""
+    from schisma_spark.functions.dedup import connected_components
+
+    d = fan_out(_t(spark, sf, "documents"))
+    pairs = minhash_near_dups(d, "text", "doc_id", threshold=0.2,
+                              n_hashes=16, bands=4)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").cast("long").alias("doc_id"),
+                     F.col("component").cast("long").alias("cluster_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lineitem": q_stats_lineitem,
@@ -614,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_recall": q_lsh_ann_recall,
         "cosine_near_dups": q_cosine_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1216,6 +1234,26 @@ def oracle_sql() -> dict[str, str]:
                     NOT IN ('DOUBLE', 'BIGINT', 'UBIGINT', 'NULL')
         """,
         "minhash_near_dups": near_dups_sql,
+        "dedup_clusters": f"""
+            -- connected components over the SAME minhash near-dup pairs,
+            -- recomputed independently via recursive transitive closure;
+            -- component = least reachable doc_id
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({near_dups_sql})
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src::bigint AS doc_id,
+                   least(src, min(dst))::bigint AS cluster_id
+            FROM reach GROUP BY src
+        """,
         "lsh_ann_topk": lsh_topk_sql,
         "ivf_ann_topk": """
             -- independent IVF recomputation: same deterministic codebook

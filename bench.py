@@ -255,7 +255,7 @@ def main():
         "lsh_ann_topk", "ivf_ann_topk", "conform_json_events",
         "validate_variant_events", "recursive_validate",
         "simhash_near_dups", "simhash64_near_dups",
-        "conform_variant_events",
+        "conform_variant_events", "dedup_clusters",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (
@@ -273,6 +273,16 @@ def main():
         "minhash_near_dups_native",
         lambda: _mnd(docs_sf, "text", "doc_id", threshold=0.2,
                      n_hashes=16, bands=4, hasher="native").collect(),
+    )
+    # native 64-bit simhash near-dups: the production wide-banding path
+    # (full xxhash64 signature, no md5 hex round-trip)
+    from schisma_spark.functions.dedup import simhash64_near_dups as _s64
+    from schisma_spark.sources import fan_out as _fo
+
+    timed(
+        "simhash64_near_dups_native",
+        lambda: _s64(_fo(docs_sf), "text", "doc_id", max_hamming=3,
+                     hasher="native").collect(),
     )
 
     total = round(sum(timings.values()), 3)

@@ -246,6 +246,93 @@ def minhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the CLUSTERING
+    step of a dedup pipeline (pairs -> clusters -> keep one canonical doc
+    per cluster): ``node, component`` where ``component`` is the smallest
+    node id reachable from ``node`` (the canonical id).
+
+    Algorithm: min-label propagation to a fixpoint. Each round joins the
+    current labels across the symmetric edge list and takes
+    ``min(own, neighbors')``; converged when no label changes. Rounds =
+    O(cluster diameter) — near-dup clusters are shallow (most are
+    pairs/triangles; a transitive chain of length d needs d rounds), so
+    this beats the O(log n)-round star algorithms' per-round cost in
+    practice while staying fully distributed: each round is one shuffle
+    on the node id, nothing ever collects.
+
+    Scale discipline (the recursive_validate.py lessons, CLAUDE.md): each
+    round's labels are ``localCheckpoint``'d — an iterative persist chain
+    nests every prior round's plan and OOMs the driver via the plan
+    STRING alone — and the previous round's blocks are freed after the
+    convergence check so at most two label frames are ever held. The
+    convergence probe is a count aggregate (one scalar to the driver per
+    round, never rows)."""
+    spark = pairs.sparkSession
+    jsc = spark.sparkContext._jsc
+
+    def _persistent_ids() -> set:
+        return {e.getKey() for e in
+                jsc.getPersistentRDDs().entrySet().toArray()}
+
+    def _ckpt(lazy: DataFrame):
+        before = _persistent_ids()
+        ck = lazy.localCheckpoint(eager=True)
+        return ck, _persistent_ids() - before
+
+    def _free(ids: set) -> None:
+        # DataFrame.unpersist can't reach localCheckpoint blocks; release
+        # by id-diff over getPersistentRDDs (recursive_validate.py:151)
+        for e in jsc.getPersistentRDDs().entrySet().toArray():
+            if e.getKey() in ids:
+                e.getValue().unpersist(True)
+
+    edges, eids = _ckpt(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"),
+                         F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels, lids = _ckpt(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.min("component").alias("neigh_component"))
+        )
+        new_labels, new_ids = _ckpt(
+            labels.join(neigh_min, labels["node"] == neigh_min["node2"],
+                        "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neigh_component"),
+                               F.col("component")),
+                ).alias("component"),
+                (F.coalesce(F.col("neigh_component"), F.col("component"))
+                 < F.col("component")).cast("int").alias("_chg"),
+            )
+        )
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        _free(lids)
+        labels, lids = new_labels.drop("_chg"), new_ids
+        if changed == 0:
+            break
+    _free(eids)
+    return labels
+
+
 SIMHASH_BITS = 32
 
 
