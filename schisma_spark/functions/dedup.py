@@ -336,6 +336,46 @@ def connected_components(
 SIMHASH_BITS = 32
 
 
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """Signature from a (bound) per-token hash array in ONE fold.
+
+    bit b is set iff sum over tokens of (+-1 per bit b of the hash) > 0,
+    i.e. iff 2 * count_of_set_bits_b > n_tokens. A per-bit loop of
+    ``F.aggregate`` calls builds ``bits`` separate folds — thousands of
+    py4j Column ops on the driver (~2 s to CONSTRUCT the 64-bit tree,
+    measured) and ``bits`` interpreted passes over the array per row.
+    This form folds once into a ``bits``-long count vector against a
+    mask-array literal, then reduces counts to the signature — a
+    constant-size expression tree regardless of ``bits``. Bit 63's mask
+    is the negative sentinel (``1 << 63`` overflows the signed long
+    literal)."""
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+
+    def body(n: Column) -> Column:
+        counts = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(F.lit(masks),
+                            lambda m: F.when(h.bitwiseAND(m) != 0, 1)
+                                       .otherwise(0)),
+                lambda a, x: a + x,
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                counts, F.lit(masks),
+                lambda cnt, m: F.when(cnt * 2 > n, m)
+                                .otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        )
+
+    return bind(F.size(hashes), body)
+
+
 def simhash(c: Column, bits: int = SIMHASH_BITS,
             hasher: str = "portable") -> Column:
     """SimHash over whitespace tokens: bit b is the sign of
@@ -343,24 +383,9 @@ def simhash(c: Column, bits: int = SIMHASH_BITS,
     One projection; DuckDB twin uses the same bit arithmetic. The per-token
     hash array is let-bound — computed once, not once per bit.
     ``hasher='native'`` swaps in masked xxhash64 (no oracle twin)."""
-
-    def per_bits(hashes: Column) -> Column:
-        out = None
-        for b in range(bits):
-            s = F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
-            bc = F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
-            out = bc if out is None else out + bc
-        return out
-
     h32 = hash32_native if hasher == "native" else hash32
-    return bind(F.transform(words(c), lambda t: h32(t)), per_bits)
+    return bind(F.transform(words(c), lambda t: h32(t)),
+                lambda hashes: _simhash_from_hashes(hashes, bits))
 
 
 def hamming32(a: Column, b: Column) -> Column:
@@ -376,9 +401,10 @@ def simhash64(c: Column, hasher: str = "portable") -> Column:
     ``hasher='portable'``: per-token ``hash60`` (15-hex-char md5 prefix,
     DuckDB twin) -> 60 effective bits, top 4 always zero.
 
-    Bit weights compose via ``bitwiseOR(shiftleft(1, b))`` — a ``2**b``
-    Python literal overflows the signed long at b=63. One let-bound
-    projection, exactly like ``simhash``."""
+    One let-bound projection through ``_simhash_from_hashes`` — a single
+    mask-vector fold whose expression tree is constant-size in the bit
+    width (the per-bit-aggregate form cost ~2 s of driver py4j tree
+    construction per invocation at 64 bits, measured)."""
     from schisma_spark.functions.portable import hash60
 
     if hasher == "native":
@@ -386,28 +412,8 @@ def simhash64(c: Column, hasher: str = "portable") -> Column:
     else:
         bits, per_tok = 60, hash60
 
-    def per_bits(hashes: Column) -> Column:
-        out = F.lit(0).cast("long")
-        for b in range(bits):
-            # plain closure over b — a default-arg capture would raise the
-            # lambda's arity to 3 and break F.aggregate; safe because
-            # F.aggregate invokes the lambda immediately at build time
-            s = F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
-            out = out.bitwiseOR(
-                F.when(s > 0,
-                       F.shiftleft(F.lit(1).cast("long"), b))
-                .otherwise(F.lit(0).cast("long"))
-            )
-        return out
-
-    return bind(F.transform(words(c), per_tok), per_bits)
+    return bind(F.transform(words(c), per_tok),
+                lambda hashes: _simhash_from_hashes(hashes, bits))
 
 
 def simhash64_near_dups(
