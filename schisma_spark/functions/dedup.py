@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from schisma_spark.functions.portable import bind, hash32, hash32_native
+from schisma_spark.functions.portable import (
+    bind, hash32, hash32_native, lit_longs,
+)
 from schisma_spark.functions.text import TOKEN_RE  # noqa: F401  (re-export)
 
 H32_SENTINEL = 4294967296  # 2^32: > any hash32 value (empty-shingle min)
@@ -357,7 +359,7 @@ def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
             F.array_repeat(F.lit(0), bits),
             lambda acc, h: F.zip_with(
                 acc,
-                F.transform(F.lit(masks),
+                F.transform(lit_longs(masks),
                             lambda m: F.when(h.bitwiseAND(m) != 0, 1)
                                        .otherwise(0)),
                 lambda a, x: a + x,
@@ -365,7 +367,7 @@ def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
         )
         return F.aggregate(
             F.zip_with(
-                counts, F.lit(masks),
+                counts, lit_longs(masks),
                 lambda cnt, m: F.when(cnt * 2 > n, m)
                                 .otherwise(F.lit(0).cast("long")),
             ),

@@ -39,6 +39,39 @@ def hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def lit_doubles(values) -> Column:
+    """Literal ``array<double>`` (or ``array<array<double>>``) via ONE
+    parsed SQL expression. ``F.lit`` converts Python lists element-wise
+    over py4j — 1.2 s for 3,072 floats (measured, r4); the SQL string is
+    a single call (~2 ms) and ``Double.parseDouble`` of ``repr(x)``
+    round-trips exactly (both sides IEEE nearest), so values are
+    bit-identical. The ``D`` suffix forces DOUBLE — a bare ``1.0`` parses
+    as DECIMAL in Spark SQL."""
+    def _d(x) -> str:
+        return repr(float(x)) + "D"
+
+    if values and isinstance(values[0], (list, tuple)):
+        inner = ",".join(
+            "array(" + ",".join(_d(x) for x in row) + ")" for row in values
+        )
+        return F.expr(f"array({inner})")
+    return F.expr("array(" + ",".join(_d(x) for x in values) + ")")
+
+
+def lit_longs(values) -> Column:
+    """Literal ``array<bigint>`` via one parsed SQL expression (see
+    ``lit_doubles``). MIN_LONG can't be written directly — the parser
+    reads the positive magnitude first, which overflows — so it is
+    spelled as an expression."""
+    def _l(x) -> str:
+        x = int(x)
+        if x == -(1 << 63):
+            return "(-9223372036854775807L - 1L)"
+        return f"{x}L"
+
+    return F.expr("array(" + ",".join(_l(x) for x in values) + ")")
+
+
 def bind(value: Column, body) -> Column:
     """Let-binding for column expressions: evaluate ``value`` ONCE per row
     and pass it to ``body`` as a lambda variable.

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from schisma_spark.functions.portable import bind
+from schisma_spark.functions.portable import bind, lit_doubles
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -77,34 +77,69 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int,
-                         seed: str = "ann") -> Column:
-    """Deterministic random-hyperplane signature: plane p's i-th coefficient
-    is md5-derived on the DRIVER and embedded as an array literal, so the
-    per-plane dot product is one zip_with+aggregate over the vector — a
-    fixed-size expression tree. (An earlier unrolled form built
-    tables*planes*dim Column nodes and blew up codegen/driver memory.)
-    The signature integer is the bucket key."""
+def _plane_coefs(dim: int, n_planes: int, seed: str) -> list[list[float]]:
+    """Deterministic md5-derived hyperplane coefficients (driver-side)."""
     import hashlib
 
-    bits = []
-    for pl in range(n_planes):
-        coefs = [
+    return [
+        [
             (int(hashlib.md5(f"{seed}:{pl}:{i}".encode()).hexdigest()[:8], 16)
              % 2000 - 1000) / 1000.0
             for i in range(dim)
         ]
-        dot = F.aggregate(
-            F.zip_with(vec, F.lit(coefs),
-                       lambda x, c: x.cast("double") * c),
+        for pl in range(n_planes)
+    ]
+
+
+def hyperplane_signatures(vec: Column, dim: int, n_planes: int,
+                          seeds: list[str]) -> Column:
+    """array<long> of per-table hyperplane signatures in ONE expression.
+
+    All tables' planes ship as a single matrix LITERAL (len(seeds) *
+    n_planes rows of dim coefficients) — literal data, not tree nodes —
+    and every dot product is one element of a ``transform`` over it, so
+    the expression tree is constant-size in tables*planes*dim. (The
+    per-plane form built tables*planes separate zip_with+aggregate trees:
+    ~2 s of driver py4j construction per invocation at 8x6x64, measured —
+    the simhash lesson, r4.) The inner fold is the same left-assoc
+    zip_with+aggregate as before, so signs — and every oracle that embeds
+    these coefficients in SQL — stay bit-identical."""
+    matrix = []
+    for seed in seeds:
+        matrix.extend(_plane_coefs(dim, n_planes, seed))
+    weights = [float(2**pl) for pl in range(n_planes)]
+
+    def body(dots: Column) -> Column:
+        # dots: flat array of len(seeds)*n_planes plane dots, table-major
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(len(seeds) - 1)),
+            lambda t: F.aggregate(
+                F.zip_with(
+                    F.slice(dots, t * n_planes + 1, n_planes),
+                    lit_doubles(weights),
+                    lambda d, w: F.when(d > 0, w).otherwise(F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).cast("long"),
+        )
+
+    dots_expr = F.transform(
+        lit_doubles(matrix),
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(2**pl).cast("long")).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+        ),
+    )
+    return bind(dots_expr, body)
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int,
+                         seed: str = "ann") -> Column:
+    """One table's signature integer (the bucket key); see
+    ``hyperplane_signatures`` for the batch form the operators use."""
+    return F.element_at(hyperplane_signatures(vec, dim, n_planes, [seed]), 1)
 
 
 def suggest_n_planes(n_rows: int, target_bucket_size: int = 1024) -> int:
@@ -141,11 +176,8 @@ def lsh_bucket_stats(
     set ``max_bucket_size``. Cost: one groupBy over the exploded
     (table, bucket) keys — the same shuffle shape as the operator itself,
     cheap relative to the join it is protecting."""
-    sigs = F.array(
-        *[
-            hyperplane_signature(F.col(vec_col), dim, n_planes, seed=f"t{t}")
-            for t in range(n_tables)
-        ]
+    sigs = hyperplane_signatures(
+        F.col(vec_col), dim, n_planes, [f"t{t}" for t in range(n_tables)]
     )
     buckets = (
         df.select(F.posexplode(sigs).alias("table_id", "bucket"))
@@ -196,11 +228,8 @@ def cosine_near_dups(
     ``suggest_n_planes(N)`` (m ≈ log2(N / target_bucket)) and check real
     skew with ``lsh_bucket_stats`` before a production run;
     ``max_bucket_size`` bounds the degenerate tail."""
-    sigs = F.array(
-        *[
-            hyperplane_signature(F.col(vec_col), dim, n_planes, seed=f"t{t}")
-            for t in range(n_tables)
-        ]
+    sigs = hyperplane_signatures(
+        F.col(vec_col), dim, n_planes, [f"t{t}" for t in range(n_tables)]
     )
     banded = df.select(
         F.col(id_col).alias("_id"),
@@ -280,20 +309,31 @@ def ivf_ann_topk(
     # same op order Spark's fold would use, so the rounded cosines stay
     # bit-identical to the oracle's list_cosine_similarity); the row
     # vector's norm is let-bound: ONE norm per row, one dot per centroid,
-    # instead of recomputing the norm n_centroids times
+    # instead of recomputing the norm n_centroids times. The codebook
+    # ships as ONE matrix literal (the hyperplane_signatures lesson, r4):
+    # per-centroid Column trees cost ~2 s of driver py4j construction per
+    # invocation; a transform over literal DATA is constant-size.
     cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
 
     def cos_arr(nv):
-        return [
-            F.round(_dot(F.col(vec_col), F.lit(c)) / (nv * F.lit(cn)),
-                    round_to)
-            for c, cn in zip(cents, cnorms)
-        ]
+        # same left-assoc zip_with+aggregate fold and the same
+        # round(dot/(nv*cn)) op order as the unrolled form — bit-identical
+        dots = F.transform(
+            lit_doubles(cents),
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec_col), c,
+                           lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.zip_with(dots, lit_doubles(cnorms),
+                          lambda d, cn: F.round(d / (nv * cn), round_to))
 
     cell = bind(
         _norm(F.col(vec_col)),
         lambda nv: bind(
-            F.array(*cos_arr(nv)),
+            cos_arr(nv),
             lambda ca: F.array_position(ca, F.array_max(ca)).cast("int"),
         ),
     )
@@ -303,10 +343,11 @@ def ivf_ann_topk(
     probe_cells = bind(
         _norm(F.col(vec_col)),
         lambda nv: F.slice(
-            F.array_sort(F.array(*[
-                F.struct((-cos).alias("nc"), F.lit(j + 1).alias("c"))
-                for j, cos in enumerate(cos_arr(nv))
-            ])),
+            F.array_sort(F.zip_with(
+                cos_arr(nv),
+                F.lit(list(range(1, len(cents) + 1))),
+                lambda cos, j: F.struct((-cos).alias("nc"), j.alias("c")),
+            )),
             1, n_probe,
         ),
     )
@@ -362,11 +403,8 @@ def lsh_ann_topk(
     N every bucket is O(N) and the probe join explodes. Use
     ``suggest_n_planes(N)`` and verify with ``lsh_bucket_stats``;
     ``max_bucket_size`` bounds the degenerate tail."""
-    sigs = F.array(
-        *[
-            hyperplane_signature(F.col(vec_col), dim, n_planes, seed=f"t{t}")
-            for t in range(n_tables)
-        ]
+    sigs = hyperplane_signatures(
+        F.col(vec_col), dim, n_planes, [f"t{t}" for t in range(n_tables)]
     )
     base = df.select(
         F.col(id_col).alias("neighbor_id"),
