@@ -701,9 +701,16 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT o_orderkey, 'invalid', 'o_orderstatus', "
         "o_orderstatus FROM orders WHERE NOT (o_orderstatus IN ('O','F'))"
     )
+    # r4 portable minhash: ONE md5 per shingle (bh), then universal-hash
+    # mixes (a_j*h + b_j) % MINHASH_P — same driver-derived coefficients
+    # as functions/dedup._minhash_coefs, bit-exact int64 arithmetic
+    from schisma_spark.functions.dedup import MINHASH_P, _minhash_coefs
+
+    mh_a, mh_b = _minhash_coefs(16)
     minhash_core = f"""
         WITH docs AS (
-          SELECT doc_id, {_SHINGLES3} AS sh
+          SELECT doc_id, list_transform({_SHINGLES3}, s ->
+            ('0x'||substr(md5(s),1,8))::int64) AS bh
           FROM (SELECT doc_id, {_WORDS} AS w FROM documents
                 WHERE doc_id % 25 = 0)
         )
@@ -712,8 +719,8 @@ def oracle_sql() -> dict[str, str]:
     sig_parts = []
     for j in range(8):
         sig_parts.append(
-            "coalesce(list_min(list_transform(sh, s -> "
-            f"('0x'||substr(md5('{j}:'||s),1,8))::int64)), 4294967296)"
+            "coalesce(list_min(list_transform(bh, h -> "
+            f"({mh_a[j]} * h + {mh_b[j]}) % {MINHASH_P})), {MINHASH_P})"
             "::varchar"
         )
     sig_expr = " || ',' || ".join(sig_parts)
@@ -829,8 +836,8 @@ def oracle_sql() -> dict[str, str]:
     # exact Jaccard over distinct hash32(shingle) sets (same arithmetic as
     # functions/dedup.py, portable md5 hashing on both sides)
     nd_sig = ", ".join(
-        "coalesce(list_min(list_transform(sh, s -> "
-        f"('0x'||substr(md5('{j}:'||s),1,8))::int64)), 4294967296)"
+        "coalesce(list_min(list_transform(bh, h -> "
+        f"({mh_a[j]} * h + {mh_b[j]}) % {MINHASH_P})), {MINHASH_P})"
         for j in range(16)
     )
     nd_bands = " UNION ALL ".join(
@@ -841,8 +848,11 @@ def oracle_sql() -> dict[str, str]:
     )
     near_dups_sql = f"""
         WITH docs AS (
-          SELECT doc_id, {_SHINGLES3} AS sh
-          FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+          SELECT doc_id, sh,
+                 list_transform(sh, s ->
+                   ('0x'||substr(md5(s),1,8))::int64) AS bh
+          FROM (SELECT doc_id, {_SHINGLES3} AS sh
+                FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
         ),
         sigs AS (SELECT doc_id, [{nd_sig}] AS sig FROM docs),
         banded AS ({nd_bands}),

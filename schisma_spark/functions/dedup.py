@@ -27,6 +27,22 @@ from schisma_spark.functions.portable import (
 from schisma_spark.functions.text import TOKEN_RE  # noqa: F401  (re-export)
 
 H32_SENTINEL = 4294967296  # 2^32: > any hash32 value (empty-shingle min)
+MINHASH_P = 4294967311  # smallest prime > 2^32 (universal-hash modulus)
+
+
+def _minhash_coefs(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) for the universal-hash minhash family
+    h_j(x) = (a_j * x + b_j) mod MINHASH_P. a_j < 2^31 keeps the product
+    a_j * hash32 < 2^63 (fits signed int64 on Spark AND DuckDB — the
+    portability constraint)."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    a = [h(f"minhash-a:{j}") % (2**31 - 1) + 1 for j in range(n_hashes)]
+    b = [h(f"minhash-b:{j}") % MINHASH_P for j in range(n_hashes)]
+    return a, b
 
 
 def norm_text(c: Column) -> Column:
@@ -69,24 +85,41 @@ def minhash_signature(shingles: Column, n_hashes: int = 16,
     shuffle. The shingle array is let-bound so it is computed once per row,
     not once per hash function.
 
-    ``hasher='portable'`` (md5-prefix, DuckDB-oracle-able, the default) or
-    ``'native'`` (masked xxhash64 — fully code-generated, no hex
-    round-trip, no per-hash string concat; the 100-TB production path,
-    measured ~5x cheaper in bench.py's *_native row)."""
+    ``hasher='portable'`` (DuckDB-oracle-able, the default): ONE md5 per
+    shingle (``hash32``) + n universal-hash mixes
+    ``(a_j * h + b_j) mod MINHASH_P`` in a single min-vector fold —
+    integer arithmetic DuckDB replicates bit-exactly (r4; the previous
+    scheme md5-hashed every shingle n times, 16x the md5 work, and built
+    n separate Column trees). Empty shingle set -> all-MINHASH_P
+    sentinel. ``'native'``: masked xxhash64 per (j, shingle) — fully
+    code-generated, the 100-TB production path."""
     if hasher == "native":
         def one(sh, j):
             return F.transform(sh, lambda s: hash32_native(F.lit(j), s))
-    else:
-        def one(sh, j):
-            return F.transform(
-                sh, lambda s: hash32(F.concat(F.lit(f"{j}:"), s)))
+
+        return bind(
+            shingles,
+            lambda sh: F.array(
+                *[
+                    F.coalesce(F.array_min(one(sh, j)), F.lit(H32_SENTINEL))
+                    for j in range(n_hashes)
+                ]
+            ),
+        )
+    a, b = _minhash_coefs(n_hashes)
+    p = MINHASH_P
+
+    def _mixes(h: Column) -> Column:
+        return F.zip_with(lit_longs(a), lit_longs(b),
+                          lambda aj, bj: (aj * h + bj) % p)
+
     return bind(
-        shingles,
-        lambda sh: F.array(
-            *[
-                F.coalesce(F.array_min(one(sh, j)), F.lit(H32_SENTINEL))
-                for j in range(n_hashes)
-            ]
+        F.transform(shingles, hash32),
+        lambda hs: F.aggregate(
+            hs,
+            lit_longs([p] * n_hashes),
+            lambda acc, h: F.zip_with(acc, _mixes(h),
+                                      lambda x, y: F.least(x, y)),
         ),
     )
 
