@@ -91,30 +91,19 @@ def minhash_signature(shingles: Column, n_hashes: int = 16,
     integer arithmetic DuckDB replicates bit-exactly (r4; the previous
     scheme md5-hashed every shingle n times, 16x the md5 work, and built
     n separate Column trees). Empty shingle set -> all-MINHASH_P
-    sentinel. ``'native'``: masked xxhash64 per (j, shingle) — fully
-    code-generated, the 100-TB production path."""
-    if hasher == "native":
-        def one(sh, j):
-            return F.transform(sh, lambda s: hash32_native(F.lit(j), s))
-
-        return bind(
-            shingles,
-            lambda sh: F.array(
-                *[
-                    F.coalesce(F.array_min(one(sh, j)), F.lit(H32_SENTINEL))
-                    for j in range(n_hashes)
-                ]
-            ),
-        )
+    sentinel. ``'native'``: same fold with a masked-xxhash64 base — fully
+    code-generated end to end, the 100-TB production path."""
     a, b = _minhash_coefs(n_hashes)
     p = MINHASH_P
+    base = hash32_native if hasher == "native" else hash32
 
     def _mixes(h: Column) -> Column:
         return F.zip_with(lit_longs(a), lit_longs(b),
                           lambda aj, bj: (aj * h + bj) % p)
 
     return bind(
-        F.transform(shingles, hash32),
+        F.transform(shingles, lambda s: base(s)),  # base may be varargs —
+        # transform requires a fixed-arity callable
         lambda hs: F.aggregate(
             hs,
             lit_longs([p] * n_hashes),
