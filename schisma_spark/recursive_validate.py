@@ -167,29 +167,56 @@ def validate_json_recursive(
             return spark.createDataFrame([], lazy.schema)
         return ck
 
-    frontier, fids = _ckpt(root_frontier(df))
+    # ONE checkpoint job per level (r4): the check expression and the
+    # child extraction both re-parse the frontier's variants, and the old
+    # shape additionally materialized the root frontier and every next
+    # frontier as their own jobs — three heavy evaluations per level.
+    # Now each level runs exactly one job: a COMBINED checkpoint
+    # (violations array + child array) computed from a LAZY frontier that
+    # is a cheap explode-projection over the PREVIOUS level's checkpoint
+    # (lineage depth stays constant — one step above a checkpoint);
+    # violations and the next frontier derive from the checkpointed data.
+    # Block discipline unchanged: combined L-1 is freed as soon as
+    # combined L exists, so at most two level frames are ever held.
     level_viols: list[DataFrame] = [malformed]
+    pending = root_frontier(df)  # lazy; evaluated inside L0's checkpoint
+    prev_ids: set = set()
     depth = 0
-    while not frontier.isEmpty():
+    while True:
         if depth > max_depth:
-            _free(fids)  # don't leak the live frontier on the guard path
+            _free(prev_ids)
             raise RuntimeError(
                 f"document depth exceeds max_depth={max_depth}; raise the "
                 "guard if this corpus is genuinely that deep"
             )
         res = check_variant_node(level, F.col("_v"), F.col("_where"), opts)
+        arr = F.try_variant_get(F.col("_v"), f"$.{recurse_field}",
+                                "array<variant>")
+        combined, cids = _ckpt(pending.select(
+            *keys, "_where",
+            res.viols.alias("_viols"), arr.alias("_ch"),
+        ))
+        _free(prev_ids)  # level L-1's blocks die here
+        if combined.isEmpty():
+            _free(cids)
+            break
         level_viols.append(materialize(
-            frontier.select(*keys, F.explode(res.viols).alias("_x"))
+            combined.where(F.size("_viols") > 0)
+            .select(*keys, F.explode("_viols").alias("_x"))
             .select(*keys, *[F.col(f"_x.{f}").alias(f)
                              for f in VIOLATION_FIELDS])
         ))
-        nxt, nids = _ckpt(descend(frontier))
-        # level L and level L-1's violations are materialized: release
-        # L-1's blocks NOW — at most two frontiers ever held
-        _free(fids)
-        frontier, fids = nxt, nids
+        pending = (
+            combined.where(F.col("_ch").isNotNull())
+            .select(*keys, "_where",
+                    F.posexplode("_ch").alias("_i", "_cv"))
+            .select(*keys,
+                    F.concat_ws(".", "_where", F.lit(recurse_field),
+                                F.col("_i").cast("string")).alias("_where"),
+                    F.col("_cv").alias("_v"))
+        )
+        prev_ids = cids
         depth += 1
-    _free(fids)
 
     viols = level_viols[0]
     for v in level_viols[1:]:
