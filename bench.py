@@ -164,6 +164,18 @@ def main():
         .agg(F.sum(F.col("decode_ok").cast("long"))).collect(),
         rows=n_q,
     )
+    # pixel-derived perceptual hash + banded-Hamming image dedup over one
+    # sixteenth (decode + DCT per image dominates; the pairing join is
+    # the same 16-bit banding as the text path)
+    from schisma_spark.image.phash import image_near_dups
+
+    n_16 = N_IMAGES // 16
+    timed(
+        "image_phash_near_dups",
+        lambda: image_near_dups(imgs.where(F.col("range16") < 1))
+        .agg(F.count(F.lit(1)), F.min("hamming")).collect(),
+        rows=n_16,
+    )
     spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     # stats path at 4x rows: metadata-only table (bytes never exist), same
     # fused validate+verdicts plan

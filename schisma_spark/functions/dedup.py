@@ -472,9 +472,32 @@ def simhash64_near_dups(
     """
     sig = simhash64(F.col(text_col), hasher=hasher)
     s = df.select(F.col(id_col).alias("_id"), sig.alias("sig"))
+    return hamming_near_dups(s, "sig", "_id", max_hamming=max_hamming,
+                             max_bucket_size=max_bucket_size)
+
+
+def hamming_near_dups(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Generic banded-Hamming near-dup pairs over ANY int64 signature
+    column (text simhash, image perceptual hash, ...): ``id_a, id_b,
+    hamming``. Pigeonhole: ``max_hamming < n_bands`` differing bits
+    cannot land in ``n_bands`` disjoint bands, so every qualifying pair
+    shares >= 1 (band_idx, band_val) key; exact ``bit_count(xor)``
+    verifies. See ``simhash64_near_dups`` for the band-cardinality
+    sizing math."""
+    mask = (1 << band_bits) - 1
+    s = df.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("sig"))
     bands = F.array(*[
-        F.shiftright("sig", 16 * b).bitwiseAND(F.lit(0xFFFF)).cast("int")
-        for b in range(4)
+        F.shiftright("sig", band_bits * b).bitwiseAND(F.lit(mask))
+        .cast("int")
+        for b in range(n_bands)
     ])
     banded = s.select(
         "_id", "sig", F.posexplode(bands).alias("band_idx", "band_val")
