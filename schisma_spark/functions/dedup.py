@@ -97,18 +97,19 @@ def minhash_signature(shingles: Column, n_hashes: int = 16,
     p = MINHASH_P
     base = hash32_native if hasher == "native" else hash32
 
-    def _mixes(h: Column) -> Column:
-        return F.zip_with(lit_longs(a), lit_longs(b),
-                          lambda aj, bj: (aj * h + bj) % p)
+    def _one(hs: Column, j: int) -> Column:
+        # scalar-literal mixes: a min-vector fold with zip_with over
+        # literal arrays computes the same values but allocates ~3 small
+        # arrays PER SHINGLE in interpreted eval — measured 6x slower
+        # than this per-j form inside a long-lived session (GC churn),
+        # while per-j allocates n_hashes arrays per ROW
+        return F.array_min(F.transform(hs, lambda h: (a[j] * h + b[j]) % p))
 
     return bind(
         F.transform(shingles, lambda s: base(s)),  # base may be varargs —
         # transform requires a fixed-arity callable
-        lambda hs: F.aggregate(
-            hs,
-            lit_longs([p] * n_hashes),
-            lambda acc, h: F.zip_with(acc, _mixes(h),
-                                      lambda x, y: F.least(x, y)),
+        lambda hs: F.array(
+            *[F.coalesce(_one(hs, j), F.lit(p)) for j in range(n_hashes)]
         ),
     )
 
