@@ -373,7 +373,14 @@ def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
     mask-array literal, then reduces counts to the signature — a
     constant-size expression tree regardless of ``bits``. Bit 63's mask
     is the negative sentinel (``1 << 63`` overflows the signed long
-    literal)."""
+    literal).
+
+    Trade-off note (r4, the minhash lesson): the fold allocates ~3 small
+    arrays per TOKEN in interpreted eval, which can GC-thrash a long-lived
+    session at very high row counts; the per-bit-transform alternative
+    allocates per ROW but costs ``bits`` py4j trees to build. At 64 bits
+    the build cost dominates (2 s per invocation), so the fold wins here;
+    measured flat in the bench session at document scale."""
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
 
     def body(n: Column) -> Column:
