@@ -593,6 +593,57 @@ def q_dedup_clusters(spark, sf):
                      F.col("component").cast("long").alias("cluster_id"))
 
 
+def q_curation_keep_list(spark, sf):
+    """End-to-end training-data CURATION decision (r4): every document
+    gets keep/drop + a reason, composing the pipeline's independent
+    stages by precedence — (1) quality gate (quality_score >= 0.5 and
+    >= 5 tokens), (2) exact dedup (only the min doc_id of a normalized
+    fingerprint group survives), (3) near-dup clusters (only the
+    cluster-canonical = smallest reachable id survives). Stages are
+    computed independently over the full corpus, as production curation
+    runs them; the oracle reassembles the same fragments (quality CASE
+    arithmetic, fingerprint group mins, recursive-CTE clusters)."""
+    from schisma_spark.functions.dedup import connected_components
+
+    did = F.col("doc_id")
+    d = fan_out(_t(spark, sf, "documents").select(
+        "doc_id",
+        # plants so every decision path fires: %31 too short (quality
+        # gate), %37 an exact copy of doc 3's text (exact-dup gate)
+        F.when(did % 31 == 0, F.lit("too short"))
+        .when(did % 37 == 0,
+              F.lit("the exact same duplicated document text appears "
+                    "here twice in the corpus for the dedup gate"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ))
+    base = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        token_count_ws(F.col("text")).alias("tok"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    min_ids = base.groupBy("fp").agg(F.min("doc_id").alias("fp_min"))
+    pairs = minhash_near_dups(d, "text", "doc_id", threshold=0.2,
+                              n_hashes=16, bands=4)
+    cc = (connected_components(pairs)
+          .withColumnRenamed("node", "doc_id")
+          .withColumnRenamed("component", "cluster"))
+    reason = (
+        F.when((F.col("q") < 0.5) | (F.col("tok") < 5), "low_quality")
+        .when(F.col("doc_id") != F.col("fp_min"), "exact_dup")
+        .when(F.col("cluster").isNotNull()
+              & (F.col("doc_id") != F.col("cluster")), "near_dup")
+        .otherwise("ok")
+    )
+    return (
+        base.join(min_ids, "fp")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .select("doc_id", (F.col("reason") == "ok").alias("keep"), "reason")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lineitem": q_stats_lineitem,
@@ -632,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": q_cosine_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "curation_keep_list": q_curation_keep_list,
     }
 
 
@@ -876,6 +928,16 @@ def oracle_sql() -> dict[str, str]:
         FROM cands JOIN hsh x ON x.doc_id = id_a JOIN hsh y ON y.doc_id = id_b
         WHERE jac >= 0.2
     """
+
+    # curation plant (verbatim twin of q_curation_keep_list's when-chain)
+    _CURATION_PLANT = (
+        "(SELECT doc_id, "
+        "CASE WHEN doc_id % 31 = 0 THEN 'too short' "
+        "WHEN doc_id % 37 = 0 THEN "
+        "'the exact same duplicated document text appears here twice "
+        "in the corpus for the dedup gate' "
+        "ELSE text END AS text FROM documents) AS _planted"
+    )
 
     simhash_bits = []
     for b in range(32):
@@ -1263,6 +1325,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT src::bigint AS doc_id,
                    least(src, min(dst))::bigint AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "curation_keep_list": f"""
+            -- the full curation decision, reassembled independently:
+            -- quality CASE arithmetic + fingerprint-group mins +
+            -- recursive-CTE near-dup clusters, same precedence; the pair
+            -- stage reads the SAME planted corpus as every other stage
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({near_dups_sql.replace(
+                  "FROM documents", "FROM " + _CURATION_PLANT)})
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS cluster
+              FROM reach GROUP BY src
+            ),
+            base AS (
+              SELECT doc_id,
+                {_quality_sql('text')} AS q,
+                (CASE WHEN trim(text)='' THEN 0 ELSE
+                   len(string_split_regex(trim(text), '\\s+')) END) AS tok,
+                {_FP.format(x='text')} AS fp
+              FROM {_CURATION_PLANT}
+            ),
+            mins AS (SELECT fp, min(doc_id) AS fp_min FROM base GROUP BY fp),
+            decided AS (
+              SELECT b.doc_id,
+                CASE WHEN b.q < 0.5 OR b.tok < 5 THEN 'low_quality'
+                     WHEN b.doc_id != m.fp_min THEN 'exact_dup'
+                     WHEN c.cluster IS NOT NULL AND b.doc_id != c.cluster
+                       THEN 'near_dup'
+                     ELSE 'ok' END AS reason
+              FROM base b JOIN mins m USING (fp)
+              LEFT JOIN clusters c ON c.doc_id = b.doc_id
+            )
+            SELECT doc_id, (reason = 'ok') AS keep, reason FROM decided
         """,
         "lsh_ann_topk": lsh_topk_sql,
         "ivf_ann_topk": """
