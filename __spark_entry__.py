@@ -595,15 +595,18 @@ def q_dedup_clusters(spark, sf):
 
 def q_curation_keep_list(spark, sf):
     """End-to-end training-data CURATION decision (r4): every document
-    gets keep/drop + a reason, composing the pipeline's independent
-    stages by precedence — (1) quality gate (quality_score >= 0.5 and
-    >= 5 tokens), (2) exact dedup (only the min doc_id of a normalized
-    fingerprint group survives), (3) near-dup clusters (only the
-    cluster-canonical = smallest reachable id survives). Stages are
-    computed independently over the full corpus, as production curation
-    runs them; the oracle reassembles the same fragments (quality CASE
-    arithmetic, fingerprint group mins, recursive-CTE clusters)."""
-    from schisma_spark.functions.dedup import connected_components
+    gets keep/drop + a reason, composing the pipeline's stages by
+    precedence — (1) quality gate (quality_score >= 0.5 and >= 5
+    tokens), (2) exact dedup (only the min doc_id of a normalized
+    fingerprint group survives), (3) near-dup clusters: the canonical is
+    the smallest doc_id among cluster members that SURVIVED stages 1-2
+    (r4 review — taking the raw cluster min would silently drop an
+    entire content class whenever its min-id member failed an earlier
+    gate), so exactly one representative of every cluster with a
+    surviving member is kept. The oracle reassembles the same fragments
+    (quality CASE arithmetic, fingerprint group mins, recursive-CTE
+    clusters, survivor-min per cluster)."""
+    from schisma_spark.functions.curate import curation_keep_list
 
     did = F.col("doc_id")
     d = fan_out(_t(spark, sf, "documents").select(
@@ -617,31 +620,8 @@ def q_curation_keep_list(spark, sf):
         .otherwise(F.col("text"))
         .alias("text"),
     ))
-    base = d.select(
-        "doc_id",
-        quality_score(F.col("text")).alias("q"),
-        token_count_ws(F.col("text")).alias("tok"),
-        fingerprint(F.col("text")).alias("fp"),
-    )
-    min_ids = base.groupBy("fp").agg(F.min("doc_id").alias("fp_min"))
-    pairs = minhash_near_dups(d, "text", "doc_id", threshold=0.2,
+    return curation_keep_list(d, "doc_id", "text", threshold=0.2,
                               n_hashes=16, bands=4)
-    cc = (connected_components(pairs)
-          .withColumnRenamed("node", "doc_id")
-          .withColumnRenamed("component", "cluster"))
-    reason = (
-        F.when((F.col("q") < 0.5) | (F.col("tok") < 5), "low_quality")
-        .when(F.col("doc_id") != F.col("fp_min"), "exact_dup")
-        .when(F.col("cluster").isNotNull()
-              & (F.col("doc_id") != F.col("cluster")), "near_dup")
-        .otherwise("ok")
-    )
-    return (
-        base.join(min_ids, "fp")
-        .join(cc, "doc_id", "left")
-        .select("doc_id", reason.alias("reason"))
-        .select("doc_id", (F.col("reason") == "ok").alias("keep"), "reason")
-    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1357,15 +1337,26 @@ def oracle_sql() -> dict[str, str]:
               FROM {_CURATION_PLANT}
             ),
             mins AS (SELECT fp, min(doc_id) AS fp_min FROM base GROUP BY fp),
-            decided AS (
-              SELECT b.doc_id,
-                CASE WHEN b.q < 0.5 OR b.tok < 5 THEN 'low_quality'
-                     WHEN b.doc_id != m.fp_min THEN 'exact_dup'
-                     WHEN c.cluster IS NOT NULL AND b.doc_id != c.cluster
-                       THEN 'near_dup'
-                     ELSE 'ok' END AS reason
+            wc AS (
+              SELECT b.doc_id, b.q, b.tok, m.fp_min, c.cluster,
+                (b.q >= 0.5 AND b.tok >= 5 AND b.doc_id = m.fp_min)
+                  AS pre_ok
               FROM base b JOIN mins m USING (fp)
               LEFT JOIN clusters c ON c.doc_id = b.doc_id
+            ),
+            -- cluster canonical = min SURVIVING member (r4 review)
+            canon AS (
+              SELECT cluster, min(doc_id) AS canon FROM wc
+              WHERE pre_ok AND cluster IS NOT NULL GROUP BY cluster
+            ),
+            decided AS (
+              SELECT w.doc_id,
+                CASE WHEN w.q < 0.5 OR w.tok < 5 THEN 'low_quality'
+                     WHEN w.doc_id != w.fp_min THEN 'exact_dup'
+                     WHEN w.cluster IS NOT NULL AND w.doc_id != k.canon
+                       THEN 'near_dup'
+                     ELSE 'ok' END AS reason
+              FROM wc w LEFT JOIN canon k ON k.cluster = w.cluster
             )
             SELECT doc_id, (reason = 'ok') AS keep, reason FROM decided
         """,

@@ -290,11 +290,10 @@ def main():
     # native 64-bit simhash near-dups: the production wide-banding path
     # (full xxhash64 signature, no md5 hex round-trip)
     from schisma_spark.functions.dedup import simhash64_near_dups as _s64
-    from schisma_spark.sources import fan_out as _fo
 
     timed(
         "simhash64_near_dups_native",
-        lambda: _s64(_fo(docs_sf), "text", "doc_id", max_hamming=3,
+        lambda: _s64(fan_out(docs_sf), "text", "doc_id", max_hamming=3,
                      hasher="native").collect(),
     )
 

@@ -1,0 +1,79 @@
+"""Composed training-data curation decision: quality gate -> exact dedup
+-> near-dup cluster canonicalization, one keep/drop + reason per document.
+
+The three stages mirror what a production curation pipeline ships
+(filter, exact dedup, fuzzy dedup); the composition rule that matters is
+SURVIVOR PROMOTION: the canonical of a near-dup cluster is the smallest
+id among members that survived the earlier gates — taking the raw
+cluster minimum would silently drop an entire content class whenever its
+min-id member failed a quality/exact gate (r4 review finding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schisma_spark.functions.dedup import connected_components, minhash_near_dups
+from schisma_spark.functions.text import fingerprint, quality_score, token_count_ws
+
+
+def curation_keep_list(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    pairs: DataFrame | None = None,
+    **near_dup_kw,
+) -> DataFrame:
+    """``id_col, keep, reason`` for every document.
+
+    Precedence: ``low_quality`` (quality_score < min_quality or fewer
+    than min_tokens whitespace tokens) -> ``exact_dup`` (not the min id
+    of its normalized-text fingerprint group) -> ``near_dup`` (in a
+    near-dup cluster whose canonical — the min id among members passing
+    the earlier gates — is someone else) -> ``ok``. ``pairs`` overrides
+    the near-dup pair source (default: ``minhash_near_dups`` with
+    ``near_dup_kw``); exactly one representative of every cluster with a
+    surviving member is kept.
+
+    Scale shape: one fingerprint aggregate, the LSH near-dup pipeline,
+    the iterative cluster pass, and two small joins — nothing collects
+    beyond connected_components' per-round convergence scalar."""
+    base = df.select(
+        F.col(id_col),
+        quality_score(F.col(text_col)).alias("_q"),
+        token_count_ws(F.col(text_col)).alias("_tok"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    min_ids = base.groupBy("_fp").agg(F.min(id_col).alias("_fp_min"))
+    if pairs is None:
+        pairs = minhash_near_dups(df, text_col, id_col, **near_dup_kw)
+    cc = (connected_components(pairs)
+          .withColumnRenamed("node", id_col)
+          .withColumnRenamed("component", "_cluster"))
+    wc = (
+        base.join(min_ids, "_fp")
+        .join(cc, id_col, "left")
+        .withColumn("_pre_ok",
+                    (F.col("_q") >= min_quality)
+                    & (F.col("_tok") >= min_tokens)
+                    & (F.col(id_col) == F.col("_fp_min")))
+    )
+    canon = (wc.where(F.col("_pre_ok") & F.col("_cluster").isNotNull())
+             .groupBy("_cluster").agg(F.min(id_col).alias("_canon")))
+    reason = (
+        F.when((F.col("_q") < min_quality) | (F.col("_tok") < min_tokens),
+               "low_quality")
+        .when(F.col(id_col) != F.col("_fp_min"), "exact_dup")
+        .when(F.col("_cluster").isNotNull()
+              & (F.col(id_col) != F.col("_canon")), "near_dup")
+        .otherwise("ok")
+    )
+    return (
+        wc.join(canon, "_cluster", "left")
+        .select(F.col(id_col), reason.alias("reason"))
+        .select(F.col(id_col), (F.col("reason") == "ok").alias("keep"),
+                "reason")
+    )

@@ -26,8 +26,8 @@ from schisma_spark.functions.portable import (
 )
 from schisma_spark.functions.text import TOKEN_RE  # noqa: F401  (re-export)
 
-H32_SENTINEL = 4294967296  # 2^32: > any hash32 value (empty-shingle min)
-MINHASH_P = 4294967311  # smallest prime > 2^32 (universal-hash modulus)
+MINHASH_P = 4294967311  # smallest prime > 2^32 (universal-hash modulus;
+#                         doubles as the empty-shingle minhash sentinel)
 
 
 def _minhash_coefs(n_hashes: int) -> tuple[list[int], list[int]]:
@@ -329,6 +329,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neigh_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -353,8 +354,20 @@ def connected_components(
         _free(lids)
         labels, lids = new_labels.drop("_chg"), new_ids
         if changed == 0:
+            converged = True
             break
     _free(eids)
+    if not converged:
+        # returning the partial labels would silently keep several
+        # "canonical" docs per giant cluster (r4 review) — fail loudly;
+        # a chain needing >max_iterations rounds means the corpus has a
+        # transitive near-dup path that long
+        _free(lids)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; the pair graph has a longer transitive chain — "
+            "raise max_iterations"
+        )
     return labels
 
 
@@ -416,8 +429,15 @@ def simhash(c: Column, bits: int = SIMHASH_BITS,
     hash array is let-bound — computed once, not once per bit.
     ``hasher='native'`` swaps in masked xxhash64 (no oracle twin)."""
     h32 = hash32_native if hasher == "native" else hash32
-    return bind(F.transform(words(c), lambda t: h32(t)),
-                lambda hashes: _simhash_from_hashes(hashes, bits))
+    # coalesce: NULL text -> signature 0 (the per-bit form's otherwise(0)
+    # semantics, and the DuckDB twin's coalesce(list_sum(..), 0)) —
+    # without it the fold propagates NULL and near-dup banding silently
+    # drops NULL-text rows (r4 review)
+    return F.coalesce(
+        bind(F.transform(words(c), lambda t: h32(t)),
+             lambda hashes: _simhash_from_hashes(hashes, bits)),
+        F.lit(0).cast("long"),
+    )
 
 
 def hamming32(a: Column, b: Column) -> Column:
@@ -444,8 +464,12 @@ def simhash64(c: Column, hasher: str = "portable") -> Column:
     else:
         bits, per_tok = 60, hash60
 
-    return bind(F.transform(words(c), per_tok),
-                lambda hashes: _simhash_from_hashes(hashes, bits))
+    # NULL text -> 0, matching simhash() and the oracle twins (r4 review)
+    return F.coalesce(
+        bind(F.transform(words(c), per_tok),
+             lambda hashes: _simhash_from_hashes(hashes, bits)),
+        F.lit(0).cast("long"),
+    )
 
 
 def simhash64_near_dups(

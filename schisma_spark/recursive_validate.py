@@ -183,12 +183,6 @@ def validate_json_recursive(
     prev_ids: set = set()
     depth = 0
     while True:
-        if depth > max_depth:
-            _free(prev_ids)
-            raise RuntimeError(
-                f"document depth exceeds max_depth={max_depth}; raise the "
-                "guard if this corpus is genuinely that deep"
-            )
         res = check_variant_node(level, F.col("_v"), F.col("_where"), opts)
         arr = F.try_variant_get(F.col("_v"), f"$.{recurse_field}",
                                 "array<variant>")
@@ -200,6 +194,15 @@ def validate_json_recursive(
         if combined.isEmpty():
             _free(cids)
             break
+        # guard AFTER the emptiness test (r4 review): a corpus whose
+        # deepest node sits exactly at max_depth must validate — only a
+        # NON-empty frontier beyond the limit is a runaway
+        if depth > max_depth:
+            _free(cids)
+            raise RuntimeError(
+                f"document depth exceeds max_depth={max_depth}; raise the "
+                "guard if this corpus is genuinely that deep"
+            )
         level_viols.append(materialize(
             combined.where(F.size("_viols") > 0)
             .select(*keys, F.explode("_viols").alias("_x"))

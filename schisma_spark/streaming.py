@@ -137,7 +137,12 @@ def stateful_exact_dedup_stream(
 
     The out/state schemas are derived from ``stream_df.schema`` (r4,
     ADVICE): any fp/id column types work — they are carried through
-    verbatim, not forced to long/string.
+    verbatim, not forced to long/string. CHECKPOINT-COMPAT CAVEAT: the
+    state schema is therefore tied to the input column types — changing
+    the fp/id types of an existing stream (or upgrading a checkpoint
+    written by the pre-r4 long/string schema with non-string ids)
+    requires a FRESH checkpoint; Spark's state-schema compatibility
+    check rejects the mismatch rather than corrupting state.
 
     Scale shape: one shuffle on ``fp`` per batch (the stateful exchange);
     state size = O(distinct fingerprints), the same footprint the batch

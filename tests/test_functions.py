@@ -369,6 +369,35 @@ def test_connected_components(spark):
     assert connected_components(empty).collect() == []
 
 
+def test_curation_survivor_promotion(spark):
+    """r4 review: when a near-dup cluster's min-id member fails an
+    earlier gate, the NEXT surviving member must be promoted to
+    canonical — not the whole cluster dropped. Pairs are injected so the
+    cluster structure is exact."""
+    from schisma_spark.functions.curate import curation_keep_list
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "other animals watch from the shade of an old oak tree")
+    rows = [
+        Row(doc_id=1, text="tiny"),            # low quality, in cluster
+        Row(doc_id=2, text=good),              # survivor -> promoted
+        Row(doc_id=3, text=good + " indeed"),  # near-dup of 2 -> dropped
+        Row(doc_id=4, text=good),              # exact dup of 2? no — same
+        # text as 2 -> same fingerprint group, min id 2 -> exact_dup
+        Row(doc_id=5, text="the weather today is quite pleasant and the "
+                           "birds are singing in the garden outside"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curation_keep_list(df, pairs=pairs).collect()}
+    assert got[1] == (False, "low_quality")
+    assert got[2] == (True, "ok")        # promoted: min survivor of {1,2,3}
+    assert got[3] == (False, "near_dup")
+    assert got[4] == (False, "exact_dup")
+    assert got[5] == (True, "ok")        # clean, unclustered
+
+
 def test_lsh_bucket_stats_and_plane_suggestion(spark):
     """r3 VERDICT #5: the occupancy report must account for every row in
     every table and expose the skew signal that drives n_planes; the

@@ -81,6 +81,19 @@ def test_recursive_max_depth_guard(spark):
                                 max_depth=5).count()
 
 
+def test_recursive_max_depth_boundary_inclusive(spark):
+    """r4 review regression: a document nested EXACTLY max_depth levels
+    must validate cleanly — the guard fires only on a non-empty frontier
+    beyond the limit (the r4 loop restructure briefly raised here)."""
+    doc: dict = {"name": "leaf"}
+    for _ in range(5):
+        doc = {"name": "n", "children": [doc]}
+    df = spark.createDataFrame([Row(id=1, doc=json.dumps(doc))])
+    rows = validate_json_recursive(df, "doc", {"name": str}, keys=["id"],
+                                   max_depth=5).collect()
+    assert rows == []  # clean corpus, no violations, no raise
+
+
 def test_recursive_storage_and_plan_discipline(spark):
     """r2 VERDICT #1: (a) no lingering persisted frontiers once the call
     returns — clean corpora leave storage exactly as found; (b) a clean
