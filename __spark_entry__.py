@@ -593,6 +593,18 @@ def q_dedup_clusters(spark, sf):
                      F.col("component").cast("long").alias("cluster_id"))
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic per-stratum down-sample (r4): cap each language at
+    30 documents, chosen by portable-hash rank (curate.stratified_sample)
+    — the over-represented-source cap of a curation pipeline. Oracle
+    recomputes the identical md5-derived rank."""
+    from schisma_spark.functions.curate import stratified_sample
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "lang"))
+    return (stratified_sample(d, ["lang"], "doc_id", 30)
+            .select("doc_id", "lang"))
+
+
 def q_curation_keep_list(spark, sf):
     """End-to-end training-data CURATION decision (r4): every document
     gets keep/drop + a reason, composing the pipeline's stages by
@@ -664,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "curation_keep_list": q_curation_keep_list,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1359,6 +1372,17 @@ def oracle_sql() -> dict[str, str]:
               FROM wc w LEFT JOIN canon k ON k.cluster = w.cluster
             )
             SELECT doc_id, (reason = 'ok') AS keep, reason FROM decided
+        """,
+        "stratified_sample": """
+            -- identical portable-hash rank: md5 of the id string,
+            -- 8-hex-char prefix as int64, id tie-break
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x'||substr(md5(doc_id::varchar),1,8))::int64,
+                         doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 30
         """,
         "lsh_ann_topk": lsh_topk_sql,
         "ivf_ann_topk": """

@@ -11,11 +11,40 @@ min-id member failed a quality/exact gate (r4 review finding).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from schisma_spark.functions.dedup import connected_components, minhash_near_dups
 from schisma_spark.functions.text import fingerprint, quality_score, token_count_ws
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Deterministic per-stratum down-sample: keep ``n_per_stratum`` rows
+    per stratum, chosen by rank over a PORTABLE hash of the id (stable
+    across runs and cluster sizes, not prefix-biased by id assignment;
+    id tie-break makes it total). The curation-facing twin of
+    ``dedup.cap_bucket_size`` — capping over-represented
+    languages/domains/sources before training.
+
+    Scale shape: one shuffle on the strata; a single giant stratum
+    serializes into one window task — pre-aggregate counts and split hot
+    strata (or accept the skew, AQE can't help a window). DuckDB twin:
+    the identical md5-derived rank."""
+    from schisma_spark.functions.portable import hash32
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
 
 
 def curation_keep_list(

@@ -369,6 +369,28 @@ def test_connected_components(spark):
     assert connected_components(empty).collect() == []
 
 
+def test_stratified_sample_deterministic_cap(spark):
+    """r4: per-stratum cap is exact, deterministic across partitionings,
+    and leaves small strata whole."""
+    from schisma_spark.functions.curate import stratified_sample
+
+    rows = [Row(doc_id=i, lang="en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    out = stratified_sample(df, ["lang"], "doc_id", 10)
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    assert sum(1 for lang, _ in got if lang == "en") == 10
+    assert sum(1 for lang, _ in got if lang == "de") == 10
+    # repartitioned input -> identical kept set (hash rank, not position)
+    got2 = {(r["lang"], r["doc_id"]) for r in
+            stratified_sample(df.repartition(7), ["lang"], "doc_id",
+                              10).collect()}
+    assert got2 == got
+    # a stratum smaller than the cap survives whole
+    small = spark.createDataFrame([Row(doc_id=i, lang="fr")
+                                   for i in range(4)])
+    assert stratified_sample(small, ["lang"], "doc_id", 10).count() == 4
+
+
 def test_curation_survivor_promotion(spark):
     """r4 review: when a near-dup cluster's min-id member fails an
     earlier gate, the NEXT surviving member must be promoted to
