@@ -624,11 +624,14 @@ def q_curation_keep_list(spark, sf):
     d = fan_out(_t(spark, sf, "documents").select(
         "doc_id",
         # plants so every decision path fires: %31 too short (quality
-        # gate), %37 an exact copy of doc 3's text (exact-dup gate)
+        # gate), %37 an exact copy of doc 3's text (exact-dup gate),
+        # %41 NULL text (the r4-ADVICE every-document contract: NULL
+        # must yield a low_quality decision row, never a dropped row)
         F.when(did % 31 == 0, F.lit("too short"))
         .when(did % 37 == 0,
               F.lit("the exact same duplicated document text appears "
                     "here twice in the corpus for the dedup gate"))
+        .when(did % 41 == 0, F.lit(None).cast("string"))
         .otherwise(F.col("text"))
         .alias("text"),
     ))
@@ -891,13 +894,17 @@ def oracle_sql() -> dict[str, str]:
         + "),1,8))::int64 AS band_hash FROM sigs"
         for b in range(4)
     )
-    near_dups_sql = f"""
+    # parameterized source relation (r4 ADVICE: the curation twin used a
+    # post-hoc .replace on the assembled SQL — one stray 'FROM documents'
+    # in a future edit would silently rewrite the wrong clause)
+    def _near_dups_sql_for(source: str) -> str:
+        return f"""
         WITH docs AS (
           SELECT doc_id, sh,
                  list_transform(sh, s ->
                    ('0x'||substr(md5(s),1,8))::int64) AS bh
           FROM (SELECT doc_id, {_SHINGLES3} AS sh
-                FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
+                FROM (SELECT doc_id, {_WORDS} AS w FROM {source}))
         ),
         sigs AS (SELECT doc_id, [{nd_sig}] AS sig FROM docs),
         banded AS ({nd_bands}),
@@ -922,6 +929,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE jac >= 0.2
     """
 
+    near_dups_sql = _near_dups_sql_for("documents")
+
     # curation plant (verbatim twin of q_curation_keep_list's when-chain)
     _CURATION_PLANT = (
         "(SELECT doc_id, "
@@ -929,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN doc_id % 37 = 0 THEN "
         "'the exact same duplicated document text appears here twice "
         "in the corpus for the dedup gate' "
+        "WHEN doc_id % 41 = 0 THEN NULL "
         "ELSE text END AS text FROM documents) AS _planted"
     )
 
@@ -1325,8 +1335,7 @@ def oracle_sql() -> dict[str, str]:
             -- recursive-CTE near-dup clusters, same precedence; the pair
             -- stage reads the SAME planted corpus as every other stage
             WITH RECURSIVE pairs AS (
-              SELECT id_a, id_b FROM ({near_dups_sql.replace(
-                  "FROM documents", "FROM " + _CURATION_PLANT)})
+              SELECT id_a, id_b FROM ({_near_dups_sql_for(_CURATION_PLANT)})
             ),
             edges AS (
               SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1341,19 +1350,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT src AS doc_id, least(src, min(dst)) AS cluster
               FROM reach GROUP BY src
             ),
+            -- NULL text (r4 ADVICE): nulltext flag + fingerprint
+            -- coalesced to the -1 sentinel so every document keeps a row
             base AS (
               SELECT doc_id,
+                (text IS NULL) AS nulltext,
                 {_quality_sql('text')} AS q,
                 (CASE WHEN trim(text)='' THEN 0 ELSE
                    len(string_split_regex(trim(text), '\\s+')) END) AS tok,
-                {_FP.format(x='text')} AS fp
+                coalesce({_FP.format(x='text')}, -1) AS fp
               FROM {_CURATION_PLANT}
             ),
             mins AS (SELECT fp, min(doc_id) AS fp_min FROM base GROUP BY fp),
             wc AS (
-              SELECT b.doc_id, b.q, b.tok, m.fp_min, c.cluster,
-                (b.q >= 0.5 AND b.tok >= 5 AND b.doc_id = m.fp_min)
-                  AS pre_ok
+              SELECT b.doc_id, b.nulltext, b.q, b.tok, m.fp_min, c.cluster,
+                ((NOT b.nulltext) AND b.q >= 0.5 AND b.tok >= 5
+                 AND b.doc_id = m.fp_min) AS pre_ok
               FROM base b JOIN mins m USING (fp)
               LEFT JOIN clusters c ON c.doc_id = b.doc_id
             ),
@@ -1364,7 +1376,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             decided AS (
               SELECT w.doc_id,
-                CASE WHEN w.q < 0.5 OR w.tok < 5 THEN 'low_quality'
+                CASE WHEN w.nulltext OR w.q < 0.5 OR w.tok < 5
+                       THEN 'low_quality'
                      WHEN w.doc_id != w.fp_min THEN 'exact_dup'
                      WHEN w.cluster IS NOT NULL AND w.doc_id != k.canon
                        THEN 'near_dup'

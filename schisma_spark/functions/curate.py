@@ -67,14 +67,25 @@ def curation_keep_list(
     ``near_dup_kw``); exactly one representative of every cluster with a
     surviving member is kept.
 
+    NULL-text documents (r4 ADVICE): ``fingerprint(NULL)`` is NULL, so a
+    naive inner join on the fingerprint would silently DROP the row and
+    break the every-document contract, and NULL ``_q``/``_tok``
+    comparisons would skip the low_quality branch. NULL text is gated
+    explicitly to ``low_quality`` and the fingerprint coalesced to a -1
+    sentinel (``fingerprint`` is a non-negative 60-bit hash, so the
+    sentinel cannot collide) so every input row yields exactly one
+    decision row.
+
     Scale shape: one fingerprint aggregate, the LSH near-dup pipeline,
     the iterative cluster pass, and two small joins — nothing collects
     beyond connected_components' per-round convergence scalar."""
     base = df.select(
         F.col(id_col),
+        F.col(text_col).isNull().alias("_nulltext"),
         quality_score(F.col(text_col)).alias("_q"),
         token_count_ws(F.col(text_col)).alias("_tok"),
-        fingerprint(F.col(text_col)).alias("_fp"),
+        F.coalesce(fingerprint(F.col(text_col)).cast("long"),
+                   F.lit(-1).cast("long")).alias("_fp"),
     )
     min_ids = base.groupBy("_fp").agg(F.min(id_col).alias("_fp_min"))
     if pairs is None:
@@ -86,14 +97,16 @@ def curation_keep_list(
         base.join(min_ids, "_fp")
         .join(cc, id_col, "left")
         .withColumn("_pre_ok",
-                    (F.col("_q") >= min_quality)
+                    (~F.col("_nulltext"))
+                    & (F.col("_q") >= min_quality)
                     & (F.col("_tok") >= min_tokens)
                     & (F.col(id_col) == F.col("_fp_min")))
     )
     canon = (wc.where(F.col("_pre_ok") & F.col("_cluster").isNotNull())
              .groupBy("_cluster").agg(F.min(id_col).alias("_canon")))
     reason = (
-        F.when((F.col("_q") < min_quality) | (F.col("_tok") < min_tokens),
+        F.when(F.col("_nulltext")
+               | (F.col("_q") < min_quality) | (F.col("_tok") < min_tokens),
                "low_quality")
         .when(F.col(id_col) != F.col("_fp_min"), "exact_dup")
         .when(F.col("_cluster").isNotNull()

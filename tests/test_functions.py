@@ -420,6 +420,26 @@ def test_curation_survivor_promotion(spark):
     assert got[5] == (True, "ok")        # clean, unclustered
 
 
+def test_curation_null_text_gets_decision(spark):
+    """r4 ADVICE (medium): NULL-text documents must not be dropped by the
+    fingerprint join (fingerprint(NULL) is NULL) — the contract is one
+    keep/reason row per input document, and NULL text is low_quality."""
+    from schisma_spark.functions.curate import curation_keep_list
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "other animals watch from the shade of an old oak tree")
+    df = spark.createDataFrame(
+        [(1, None), (2, good), (3, None)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curation_keep_list(df, pairs=pairs).collect()}
+    assert len(got) == 3                       # every document decided
+    assert got[1] == (False, "low_quality")
+    assert got[3] == (False, "low_quality")
+    assert got[2] == (True, "ok")
+
+
 def test_lsh_bucket_stats_and_plane_suggestion(spark):
     """r3 VERDICT #5: the occupancy report must account for every row in
     every table and expose the skew signal that drives n_planes; the
