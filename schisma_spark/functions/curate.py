@@ -23,6 +23,7 @@ def stratified_sample(
     strata_cols: list[str],
     id_col: str,
     n_per_stratum: int,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Deterministic per-stratum down-sample: keep ``n_per_stratum`` rows
     per stratum, chosen by rank over a PORTABLE hash of the id (stable
@@ -31,19 +32,34 @@ def stratified_sample(
     ``dedup.cap_bucket_size`` — capping over-represented
     languages/domains/sources before training.
 
-    Scale shape: one shuffle on the strata; a single giant stratum
-    serializes into one window task — pre-aggregate counts and split hot
-    strata (or accept the skew, AQE can't help a window). DuckDB twin:
-    the identical md5-derived rank."""
+    Skew shape (r4 VERDICT #4): a single-window rank serializes a hot
+    stratum into ONE task (AQE cannot split a window partition), so the
+    rank runs in TWO stages — a pre-rank within (stratum, salt) capped at
+    ``n_per_stratum``, then the exact rank over the <= n_salts * n
+    survivors. Every global top-n row ranks <= n within its own salt
+    subset (ranking over a subset never increases a row's rank), so
+    stage 1 never drops a winner and the output is IDENTICAL to the
+    single-window form — the DuckDB twin stays the plain one-window SQL.
+    The salt is xxhash64-derived from the id (deterministic, affects only
+    parallelism); ``n_salts`` bounds the hot-stratum task at
+    rows/n_salts for stage 1 and salts*n rows for stage 2."""
     from schisma_spark.functions.portable import hash32
 
-    w = Window.partitionBy(*strata_cols).orderBy(
-        hash32(F.col(id_col).cast("string")), F.col(id_col)
+    d = df.withColumn("_hk", hash32(F.col(id_col).cast("string"))) \
+          .withColumn("_salt",
+                      F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+    w1 = Window.partitionBy(*strata_cols, "_salt").orderBy(
+        F.col("_hk"), F.col(id_col)
+    )
+    w2 = Window.partitionBy(*strata_cols).orderBy(
+        F.col("_hk"), F.col(id_col)
     )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        d.withColumn("_rn", F.row_number().over(w1))
         .where(F.col("_rn") <= n_per_stratum)
-        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn", "_hk", "_salt")
     )
 
 

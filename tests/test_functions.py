@@ -369,6 +369,64 @@ def test_connected_components(spark):
     assert connected_components(empty).collect() == []
 
 
+def test_banding_rejects_voided_pigeonhole(spark):
+    """r4 ADVICE: max_hamming >= n_bands silently loses recall — the
+    operators must refuse instead of shipping an incomplete pair set."""
+    from schisma_spark.functions.dedup import (
+        hamming_near_dups, simhash64_near_dups, simhash_near_dups,
+    )
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
+                               "doc_id long, text string")
+    sigs = spark.createDataFrame([(1, 7), (2, 11)], "id long, sig long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dups(sigs, "sig", "id", max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash64_near_dups(df, "text", "doc_id", max_hamming=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(df, "text", "doc_id", max_hamming=4)
+    # a valid radius still works
+    assert hamming_near_dups(sigs, "sig", "id", max_hamming=3,
+                             n_bands=4).count() >= 0
+
+
+def test_connected_components_shortcut_log_rounds(spark):
+    """r4 VERDICT #6: shortcut=True pointer-jumps labels each round, so a
+    planted 200-node transitive CHAIN (the adversarial diameter that
+    plain propagation needs 199 rounds for) converges in
+    <= ceil(log2(200)) + 1 rounds with the identical labeling."""
+    import math
+
+    from schisma_spark.functions.dedup import connected_components
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {r["node"]: r["component"]
+           for r in connected_components(chain, shortcut=True,
+                                         stats_out=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 1
+
+    # plain propagation on the same chain hits the loud non-convergence
+    # guard at the default budget — the failure mode shortcut removes
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=20)
+
+    # same fixpoint on a mixed graph, both modes
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    plain = {(r["node"], r["component"])
+             for r in connected_components(pairs).collect()}
+    fast = {(r["node"], r["component"])
+            for r in connected_components(pairs, shortcut=True).collect()}
+    assert plain == fast
+
+
 def test_stratified_sample_deterministic_cap(spark):
     """r4: per-stratum cap is exact, deterministic across partitionings,
     and leaves small strata whole."""
@@ -389,6 +447,37 @@ def test_stratified_sample_deterministic_cap(spark):
     small = spark.createDataFrame([Row(doc_id=i, lang="fr")
                                    for i in range(4)])
     assert stratified_sample(small, ["lang"], "doc_id", 10).count() == 4
+
+
+def test_stratified_sample_two_stage_skew_safe(spark):
+    """r4 VERDICT #4: a 90%-one-stratum corpus must not funnel into a
+    single window task — the pre-rank partitions on (stratum, salt) —
+    and the two-stage rank must return EXACTLY the single-window answer
+    (recomputed here independently with the same portable hash)."""
+    import hashlib
+
+    from schisma_spark.functions.curate import stratified_sample
+
+    rows = [Row(doc_id=i, lang="en" if i % 10 else "de")  # 90% en
+            for i in range(500)]
+    df = spark.createDataFrame(rows)
+    out = stratified_sample(df, ["lang"], "doc_id", 15, n_salts=8)
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+
+    def hk(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    expect = set()
+    for lang in ("en", "de"):
+        ids = [i for i in range(500)
+               if (("en" if i % 10 else "de") == lang)]
+        expect |= {(lang, i)
+                   for i in sorted(ids, key=lambda i: (hk(i), i))[:15]}
+    assert got == expect
+
+    # plan evidence: the first window's partition spec includes the salt
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
 
 
 def test_curation_survivor_promotion(spark):
@@ -475,3 +564,43 @@ def test_lsh_bucket_stats_and_plane_suggestion(spark):
     assert suggest_n_planes(2048, 1024) == 1
     assert suggest_n_planes(100, 1024) == 1
     assert suggest_n_planes(10**6, 1000) == 10
+
+
+def test_lsh_defaults_derive_from_corpus_size(spark):
+    """r4 VERDICT #2: n_planes=None (the new default) must derive m from
+    the corpus via suggest_n_planes instead of shipping a fixed toy m —
+    at 5M rows the rule gives m=13, NOT the old defaults of 4/6, and at
+    test scale the derived-default call must equal the explicit call."""
+    import numpy as np
+
+    from schisma_spark.functions.similarity import (
+        cosine_near_dups, lsh_ann_topk, suggest_n_planes,
+    )
+
+    # the sizes where the old fixed defaults (4 and 6) were silently wrong
+    assert suggest_n_planes(5_000_000) == 13
+    assert suggest_n_planes(2_000_000_000) == 21
+
+    rng = np.random.default_rng(7)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=8)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows)
+    m = suggest_n_planes(df.count())           # 120 rows -> m=1
+    assert m == 1
+    got_default = {(r["id_a"], r["id_b"]) for r in cosine_near_dups(
+        df, "vec_id", "embedding", dim=8, threshold=0.9,
+        n_tables=2).collect()}
+    got_explicit = {(r["id_a"], r["id_b"]) for r in cosine_near_dups(
+        df, "vec_id", "embedding", dim=8, threshold=0.9,
+        n_tables=2, n_planes=m).collect()}
+    assert got_default == got_explicit
+
+    probes = df.where(F.col("vec_id") % 40 == 0)
+    topk_default = {(r["probe_id"], r["neighbor_id"], r["rank"])
+                    for r in lsh_ann_topk(df, probes, "vec_id", "embedding",
+                                          dim=8, k=3, n_tables=2).collect()}
+    topk_explicit = {(r["probe_id"], r["neighbor_id"], r["rank"])
+                     for r in lsh_ann_topk(df, probes, "vec_id", "embedding",
+                                           dim=8, k=3, n_tables=2,
+                                           n_planes=m).collect()}
+    assert topk_default == topk_explicit
