@@ -66,12 +66,17 @@ def main():
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}
 
-    def timed(name, fn, rows=None, warm=True):
+    def timed(name, fn, rows=None, warm=True, best_of=1):
         if warm:
             fn()  # untimed warm-up: codegen compile, footer reads, JIT
-        t0 = time.perf_counter()
-        out = fn()
-        dt = time.perf_counter() - t0
+        dt = None
+        for _ in range(best_of):
+            # each pass REBUILDS the DataFrame via fn() — re-collecting
+            # the same object would reuse completed shuffle stages
+            t0 = time.perf_counter()
+            out = fn()
+            d = time.perf_counter() - t0
+            dt = d if dt is None else min(dt, d)
         timings[name] = round(dt, 3)
         if rows:
             rates[name] = round(rows / dt, 1)
@@ -144,12 +149,17 @@ def main():
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes",
                    str(16 * 1024 * 1024))
+    # best_of=2 on the decode pair (r4 VERDICT #5): these walls swing with
+    # single-box thermal state more than any other row (the Python-worker
+    # Arrow path is CPU-saturated); best-of-alternating is the
+    # bench_scaling discipline applied here
     timed(
         "image_decode_psnr",
         lambda: decode_validate(imgs)
         .agg(F.sum(F.col("decode_ok").cast("long")),
              F.sum(F.col("pixels_ok").cast("long"))).collect(),
         rows=N_IMAGES,
+        best_of=2,
     )
     # throughput-stability rows (r1 VERDICT #10): the same two headline
     # paths at another scale point, so rows/s can be compared across a 4x
@@ -163,6 +173,7 @@ def main():
             imgs.where(F.col("range16") < 4))
         .agg(F.sum(F.col("decode_ok").cast("long"))).collect(),
         rows=n_q,
+        best_of=2,
     )
     # pixel-derived perceptual hash + banded-Hamming image dedup over one
     # sixteenth (decode + DCT per image dominates; the pairing join is
@@ -233,12 +244,19 @@ def main():
         rows=N_IMAGES,
     )
     # production-hasher twin (masked xxhash64, no oracle twin): shows the
-    # headroom over the md5-portable construction at the same plan shape
+    # headroom over the md5-portable construction at the same plan shape.
+    # NO fan_out here (r5 A/B, interleaved in one session): the 256-file
+    # cache already feeds every core, and the repartition shuffle of 2M
+    # narrow rows costs +30-60% on this CHEAP hasher while buying nothing
+    # — it only amortizes for the md5-bound portable stage above. (Also
+    # measured: no minhash variant is whole-stage-codegen'd — bind() is
+    # itself a HOF, every shape plans 0 WSCG spans — so the r4 native
+    # regression was this row's fan_out, not codegen loss.)
     sig_n = minhash_signature(word_shingles(F.col("caption"), 2),
                               n_hashes=16, hasher="native")
     timed(
         "caption_minhash_sigs_native",
-        lambda: caps_fo.select(sig_n.alias("s"))
+        lambda: caps.select(sig_n.alias("s"))
         .agg(F.count(F.lit(1)), F.min(F.element_at(F.col("s"), 1))).collect(),
         rows=N_IMAGES,
     )
@@ -296,8 +314,37 @@ def main():
         lambda: _s64(fan_out(docs_sf), "text", "doc_id", max_hamming=3,
                      hasher="native").collect(),
     )
+    # native twins of the COMPOSED curation queries (r4 VERDICT #7): the
+    # oracle rows run the portable md5 hasher; these track the production
+    # wall of the same end-to-end pipelines (planted corpus identical to
+    # q_curation_keep_list's)
+    from schisma_spark.functions.curate import curation_keep_list as _ckl
+    from schisma_spark.functions.dedup import connected_components as _cc
+
+    did = F.col("doc_id")
+    planted = docs_sf.select(
+        "doc_id",
+        F.when(did % 31 == 0, F.lit("too short"))
+        .when(did % 37 == 0,
+              F.lit("the exact same duplicated document text appears "
+                    "here twice in the corpus for the dedup gate"))
+        .when(did % 41 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    timed(
+        "curation_keep_list_native",
+        lambda: _ckl(planted, "doc_id", "text", threshold=0.2,
+                     n_hashes=16, bands=4, hasher="native").collect(),
+    )
+    timed(
+        "dedup_clusters_native",
+        lambda: _cc(_mnd(docs_sf, "text", "doc_id", threshold=0.2,
+                         n_hashes=16, bands=4, hasher="native")).collect(),
+    )
 
     total = round(sum(timings.values()), 3)
+    ref = _reference_throughput()
     out = {
         "metric": "validation_suite_wall_sec",
         "value": total,
@@ -308,6 +355,17 @@ def main():
         "image_rows": N_IMAGES,
         "cpus": CPUS,
     }
+    if ref:
+        # the decision-relevant perf fact (r4 VERDICT #3): the reference
+        # engine's single-threaded rows/s on the SAME rule shapes, and the
+        # engine-over-reference ratio at this cpu count
+        out["ref_rows_per_sec"] = ref
+        if "verdicts_lineitem" in rates and ref.get("lineitem"):
+            out["engine_vs_ref_lineitem"] = round(
+                rates["verdicts_lineitem"] / ref["lineitem"], 2)
+        if "image_validate" in rates and ref.get("image"):
+            out["engine_vs_ref_image"] = round(
+                rates["image_validate"] / ref["image"], 2)
     prev_name, prev_queries = _prev_round_queries()
     if prev_queries:
         out["prev_round"] = prev_name
@@ -329,8 +387,55 @@ def main():
         "cpus": CPUS,
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
+    for k in ("ref_rows_per_sec", "engine_vs_ref_lineitem",
+              "engine_vs_ref_image"):
+        if k in out:
+            compact[k] = out[k]
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
+
+
+def _reference_throughput():
+    """Run the reference engine live (tools/ref_bench.mjs: the same
+    lineitem- and image-shaped rule sets the engine benchmarks) and return
+    {'lineitem': rows/s, 'image': rows/s}. Single-threaded node, ~15 s;
+    cached to .bench_cache/ref_bench.json and refreshed when the harness
+    file is newer than the cache. Returns the cache (or None) when node
+    or the reference tree is unavailable."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    mjs = os.path.join(here, "tools", "ref_bench.mjs")
+    cache = os.path.join(CACHE, "ref_bench.json")
+    if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(mjs):
+        try:
+            with open(cache) as f:
+                return json.load(f)
+        except Exception:
+            pass
+    try:
+        proc = subprocess.run(["node", mjs], capture_output=True, text=True,
+                              timeout=300)
+        lines = [json.loads(ln) for ln in proc.stdout.splitlines()
+                 if ln.strip().startswith("{")]
+        ref = {}
+        for rec in lines:
+            if "image_rows" in rec:
+                ref["image"] = rec["rows_per_sec"]
+            elif "rows" in rec:
+                ref["lineitem"] = rec["rows_per_sec"]
+        if ref:
+            os.makedirs(CACHE, exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump(ref, f)
+            return ref
+    except Exception:
+        pass
+    try:
+        with open(cache) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def _prev_round_queries():

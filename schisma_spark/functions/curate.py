@@ -70,6 +70,7 @@ def curation_keep_list(
     min_quality: float = 0.5,
     min_tokens: int = 5,
     pairs: DataFrame | None = None,
+    cc_shortcut: bool = False,
     **near_dup_kw,
 ) -> DataFrame:
     """``id_col, keep, reason`` for every document.
@@ -106,7 +107,10 @@ def curation_keep_list(
     min_ids = base.groupBy("_fp").agg(F.min(id_col).alias("_fp_min"))
     if pairs is None:
         pairs = minhash_near_dups(df, text_col, id_col, **near_dup_kw)
-    cc = (connected_components(pairs)
+    # cc_shortcut: pointer-jump rounds (O(log diameter)) for corpora whose
+    # near-dup graph can form long transitive chains — see
+    # connected_components (r4 VERDICT #6); identical fixpoint either way
+    cc = (connected_components(pairs, shortcut=cc_shortcut)
           .withColumnRenamed("node", id_col)
           .withColumnRenamed("component", "_cluster"))
     wc = (

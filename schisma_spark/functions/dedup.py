@@ -96,14 +96,16 @@ def minhash_signature(shingles: Column, n_hashes: int = 16,
     sentinel.
 
     ``'native'`` (the 100-TB production path): per-(j, shingle) masked
-    ``xxhash64(j, s)`` — n xxhash64 calls per shingle instead of one plus
-    n arithmetic mixes, yet MEASURED FASTER (1.75 s vs 2.75 s at 2M
-    captions, r4->r5): unifying native onto the universal-hash fold
-    routed the mixes through an extra HOF layer, and interpreted
-    (non-codegen) stages re-evaluate and GC-allocate per element, while
-    xxhash64-in-a-transform keeps the per-element work a single JVM hash
-    call. The r4 'unified shape' regression is why the two paths
-    deliberately do NOT share one implementation."""
+    ``xxhash64(j, s)`` — the shape that recorded the best measured wall
+    (1.75 s at 2M captions, r3). r5 finding, measured interleaved in one
+    session AND structurally via explain: NO minhash shape is ever
+    whole-stage-codegen'd — ``bind`` is itself a HOF, so every variant
+    plans 0 WSCG spans and runs interpreted — and this form vs the
+    unified universal-hash fold time EQUAL within noise (~3 s each under
+    r5 box conditions). The r4 native 'regression' (1.75 -> 2.75 s) was
+    the fan_out shuffle added to that bench row, not the unification:
+    repartitioning 2M narrow rows costs +30-60% on a hasher this cheap
+    (bench.py keeps fan_out only on the md5-bound portable row)."""
     if hasher == "native":
         def one(sh: Column, j: int) -> Column:
             return F.transform(sh, lambda s: hash32_native(F.lit(j), s))
@@ -217,13 +219,26 @@ def minhash_candidate_pairs(
     bands: int = 4,
     hasher: str = "portable",
     max_bucket_size: int | None = None,
+    skip_empty: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: ``id_a < id_b`` sharing >= 1 band.
     Shuffle = O(docs * bands) band keys; the pair join happens per band
     bucket. Moderate skew is AQE's job; a DEGENERATE bucket (the corpus is
     one giant near-dup class) needs ``max_bucket_size`` — see
-    ``cap_bucket_size``."""
+    ``cap_bucket_size``.
+
+    ``skip_empty`` drops docs whose shingle set is empty (blank, NULL, or
+    < shingle_k words) BEFORE signing: every such doc worldwide shares
+    the one all-sentinel signature, so at corpus scale they form a single
+    bucket of size O(N_empty) and the self-join goes quadratic in it —
+    while no pair involving one can ever reach a POSITIVE Jaccard
+    (jac(empty, x) is 0 or NULL). The guard predicate is the plain word
+    split (no hashing). Left off by default here (raw candidate semantics
+    unchanged); ``minhash_near_dups`` turns it on whenever
+    ``threshold > 0``, where it is provably result-identical."""
     rows = n_hashes // bands
+    if skip_empty:
+        df = df.where(F.size(words(F.col(text_col))) >= shingle_k)
     sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), n_hashes,
                             hasher=hasher)
     banded = df.select(
@@ -264,10 +279,18 @@ def minhash_near_dups(
     (r1 VERDICT #6): Jaccard over the distinct hash sets equals Jaccard over
     the string sets barring within-document hash32 collisions (~n²/2³³ per
     doc — negligible), and the candidate-verify shuffle carries 4-byte ints
-    instead of ~20-byte strings per shingle."""
+    instead of ~20-byte strings per shingle.
+
+    Empty-shingle docs are pruned before banding whenever ``threshold >
+    0`` (r5): jac(empty, nonempty) = 0 and jac(empty, empty) = 0.0 (and
+    NULL-text jaccard is NULL), so no pruned pair could have survived the
+    threshold — identical output, minus the one degenerate all-sentinel
+    bucket that would otherwise collect EVERY short/blank doc in the
+    corpus (O(N_empty^2) pairs at web scale)."""
     cands = minhash_candidate_pairs(df, text_col, id_col, shingle_k,
                                     n_hashes, bands, hasher=hasher,
-                                    max_bucket_size=max_bucket_size)
+                                    max_bucket_size=max_bucket_size,
+                                    skip_empty=threshold > 0)
     h32 = hash32_native if hasher == "native" else hash32
     # hash ONLY the docs that appear in a candidate pair: a semi-join
     # against the (small) candidate id set before the per-shingle hashing —

@@ -369,6 +369,32 @@ def test_connected_components(spark):
     assert connected_components(empty).collect() == []
 
 
+def test_minhash_near_dups_prunes_empty_shingle_docs(spark):
+    """r5: blank/short/NULL docs all share the all-sentinel signature —
+    one degenerate bucket of every empty doc in the corpus — yet can
+    never pass a positive Jaccard threshold. Pruning them before banding
+    must leave the near-dup pair set IDENTICAL."""
+    from schisma_spark.functions.dedup import minhash_near_dups
+
+    good = ("the quick brown fox jumps over the lazy dog while other "
+            "animals watch from the shade")
+    content = [(1, good), (2, good + " today"),
+               (3, "completely different text about sailing ships across "
+                   "the wide open ocean at dawn")]
+    empties = [(10 + i, txt) for i, txt in enumerate(
+        ["", "   ", "one", "two words", None, "x y", ""])]
+    df_all = spark.createDataFrame(content + empties,
+                                   "doc_id long, text string")
+    df_clean = spark.createDataFrame(content, "doc_id long, text string")
+    got_all = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(
+        df_all, "text", "doc_id", threshold=0.2, shingle_k=3).collect()}
+    got_clean = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(
+        df_clean, "text", "doc_id", threshold=0.2, shingle_k=3).collect()}
+    assert got_all == got_clean
+    assert (1, 2) in got_all
+    assert not any(a >= 10 or b >= 10 for a, b in got_all)
+
+
 def test_banding_rejects_voided_pigeonhole(spark):
     """r4 ADVICE: max_hamming >= n_bands silently loses recall — the
     operators must refuse instead of shipping an incomplete pair set."""
