@@ -593,6 +593,22 @@ def q_dedup_clusters(spark, sf):
                      F.col("component").cast("long").alias("cluster_id"))
 
 
+def q_dedup_clusters_shortcut(spark, sf):
+    """The SAME clustering through the pointer-jumping variant (r5,
+    r4 VERDICT #6): shortcut=True converges in O(log diameter) rounds by
+    label(v) <- label(label(v)) after each propagation step. The oracle
+    is dedup_clusters' recursive transitive closure VERBATIM — the
+    driver's hash gate is exactly the fixpoint-identity proof."""
+    from schisma_spark.functions.dedup import connected_components
+
+    d = fan_out(_t(spark, sf, "documents"))
+    pairs = minhash_near_dups(d, "text", "doc_id", threshold=0.2,
+                              n_hashes=16, bands=4)
+    cc = connected_components(pairs, shortcut=True)
+    return cc.select(F.col("node").cast("long").alias("doc_id"),
+                     F.col("component").cast("long").alias("cluster_id"))
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic per-stratum down-sample (r4): cap each language at
     30 documents, chosen by portable-hash rank (curate.stratified_sample)
@@ -678,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": q_cosine_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_shortcut": q_dedup_clusters_shortcut,
         "curation_keep_list": q_curation_keep_list,
         "stratified_sample": q_stratified_sample,
     }
@@ -930,6 +947,27 @@ def oracle_sql() -> dict[str, str]:
     """
 
     near_dups_sql = _near_dups_sql_for("documents")
+
+    # connected components over the SAME minhash near-dup pairs,
+    # recomputed independently via recursive transitive closure;
+    # component = least reachable doc_id
+    dedup_clusters_sql = f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({near_dups_sql})
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src::bigint AS doc_id,
+               least(src, min(dst))::bigint AS cluster_id
+        FROM reach GROUP BY src
+    """
 
     # curation plant (verbatim twin of q_curation_keep_list's when-chain)
     _CURATION_PLANT = (
@@ -1309,26 +1347,10 @@ def oracle_sql() -> dict[str, str]:
                     NOT IN ('DOUBLE', 'BIGINT', 'UBIGINT', 'NULL')
         """,
         "minhash_near_dups": near_dups_sql,
-        "dedup_clusters": f"""
-            -- connected components over the SAME minhash near-dup pairs,
-            -- recomputed independently via recursive transitive closure;
-            -- component = least reachable doc_id
-            WITH RECURSIVE pairs AS (
-              SELECT id_a, id_b FROM ({near_dups_sql})
-            ),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs
-            ),
-            reach(src, dst) AS (
-              SELECT src, dst FROM edges
-              UNION
-              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-            )
-            SELECT src::bigint AS doc_id,
-                   least(src, min(dst))::bigint AS cluster_id
-            FROM reach GROUP BY src
-        """,
+        "dedup_clusters": dedup_clusters_sql,
+        # the pointer-jumping engine variant must land on the IDENTICAL
+        # fixpoint — same oracle verbatim (the hash gate IS the proof)
+        "dedup_clusters_shortcut": dedup_clusters_sql,
         "curation_keep_list": f"""
             -- the full curation decision, reassembled independently:
             -- quality CASE arithmetic + fingerprint-group mins +
