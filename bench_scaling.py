@@ -226,6 +226,30 @@ def main():
     vs_spark_stats = median(paired)
 
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    # reference-engine throughput (r4 VERDICT #3): bench.py caches the
+    # live node run of tools/ref_bench.mjs; surface it here too so the
+    # scaling artifact carries the engine-vs-reference fact
+    ref_section = ""
+    ref_cache = os.path.join(HERE, ".bench_cache", "ref_bench.json")
+    if os.path.exists(ref_cache):
+        with open(ref_cache) as f:
+            _ref = json.load(f)
+        ref_section = f"""
+**Reference-engine throughput** (`tools/ref_bench.mjs`, single-threaded
+node on this box, cached by bench.py): **{_ref.get('lineitem', 0):,} rows/s**
+(lineitem rules) / **{_ref.get('image', 0):,} rows/s** (image rules).
+bench.py embeds these plus the engine/reference ratio measured in the SAME
+run (`ref_rows_per_sec`, `engine_vs_ref_*` in its JSON lines) — same-run
+ratios cancel host weather; see BENCH_r*.json for the per-round values.
+"""
+    gate_verdict = (
+        "both the engine's own contributions clear 0.8"
+        if vs_spark_stats >= 0.8 and norm_decode >= 0.8
+        else "the paired stats signal clears 0.8; the decode row does NOT "
+        "under this run's box conditions — read it against the control "
+        "row and the host-contention caveat below before attributing it "
+        "to the engine"
+    )
     md = f"""# BENCH/BASELINE.md — scaling evidence (N vs 4N)
 
 Sandbox stand-in for two cluster sizes (driver instruction): the same job,
@@ -280,9 +304,18 @@ slice — the floor this control measures does not exist there.
 Reading the gate (>= 0.8, BASELINE.json:2,14): the engine-attributable
 scaling signal is the "vs Spark same-shape baseline" column for the stats
 path ({vs_spark_stats:.2f}) and the ceiling-normalized decode efficiency
-({norm_decode:.3f}) — both the engine's own contributions clear 0.8; the
+({norm_decode:.3f}) — {gate_verdict}; the
 residual raw gap is the shared single-box platform floor, demonstrated by
 the control row, which a multi-executor cluster removes by construction.
+{ref_section}
+**Host-contention caveat (r5).** This VM's walls can swing far beyond the
+±25% thermal band when the underlying HOST is contended (observed r5: an
+identical bench invocation measured 145 s, then 93 s, then 108 s suite
+wall within ~40 minutes; the zero-engine-logic control row itself moved
+0.489 -> 0.375 between rounds). The contention-robust signals are the
+within-pass PAIRED ratios (stats vs control share a JVM and a box state)
+and the machine-ceiling normalization — absolute walls and single-level
+raw efficiencies are weather.
 
 Generated by `python bench_scaling.py` (run after `python bench.py` builds
 the image cache). r2 absolute note: the codegen'd count path also cut the
