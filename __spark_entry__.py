@@ -609,6 +609,32 @@ def q_dedup_clusters_shortcut(spark, sf):
                      F.col("component").cast("long").alias("cluster_id"))
 
 
+def q_embedding_curation(spark, sf):
+    """Embedding-payload curation keep-list (r5): the vector twin of
+    curation_keep_list over the embeddings table augmented with planted
+    exact duplicates (vec_id%25 copies at +100000, the cosine_near_dups
+    plant) and planted NULL vectors (vec_id%97 — failed-encoder rows
+    must yield an invalid_vector decision, never a dropped row). Oracle
+    reassembles the same hyperplane buckets, exact-cosine pairs,
+    recursive-CTE clusters and reason precedence."""
+    from schisma_spark.functions.curate import embedding_keep_list
+
+    emb = fan_out(_t(spark, sf, "embeddings").select("vec_id", "embedding"))
+    dups = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    aug = emb.unionByName(dups)
+    vec_t = aug.schema["embedding"].dataType
+    planted = aug.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 97 == 0, F.lit(None).cast(vec_t))
+        .otherwise(F.col("embedding")).alias("embedding"),
+    )
+    out = embedding_keep_list(planted, "vec_id", "embedding", dim=64,
+                              threshold=0.99, n_tables=8, n_planes=6)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "keep", "reason")
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic per-stratum down-sample (r4): cap each language at
     30 documents, chosen by portable-hash rank (curate.stratified_sample)
@@ -696,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_shortcut": q_dedup_clusters_shortcut,
         "curation_keep_list": q_curation_keep_list,
+        "embedding_curation": q_embedding_curation,
         "stratified_sample": q_stratified_sample,
     }
 
@@ -894,6 +921,75 @@ def oracle_sql() -> dict[str, str]:
                                        y.embedding::DOUBLE[]), 6) AS cos
         FROM cands JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
         WHERE cos >= 0.99
+    """
+
+    # embedding_keep_list twin (r5): augmented+NULL-planted table, SAME
+    # hyperplane buckets / exact-cosine pairs recomputed independently,
+    # recursive-CTE clusters, reason precedence (invalid_vector ->
+    # near_dup -> ok); cluster label == min member == canonical
+    emb_curation_sql = f"""
+        WITH RECURSIVE e0 AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+          WHERE vec_id % 25 = 0
+        ),
+        e AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 97 = 0 THEN NULL
+                      ELSE embedding END AS embedding
+          FROM e0
+        ),
+        valid AS (
+          SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM e
+          WHERE embedding IS NOT NULL AND
+                coalesce(list_sum(list_transform(embedding::DOUBLE[],
+                                                 x -> x*x)), 0) > 0
+        ),
+        sigs AS (SELECT vec_id, [{nd6_sig_list}] AS sg FROM valid),
+        banded AS (
+          SELECT vec_id, i AS table_id, sg[i] AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) t
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.table_id = b.table_id AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+              round(list_cosine_similarity(x.v, y.v), 6) AS cos
+            FROM cands JOIN valid x ON x.vec_id = id_a
+                       JOIN valid y ON y.vec_id = id_b
+          ) WHERE cos >= 0.99
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        ),
+        clusters AS (
+          SELECT src AS vec_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src
+        )
+        SELECT d.vec_id::bigint AS vec_id,
+               (d.reason = 'ok') AS keep, d.reason AS reason
+        FROM (
+          SELECT e.vec_id,
+            CASE WHEN v.vec_id IS NULL THEN 'invalid_vector'
+                 WHEN c.cluster IS NOT NULL AND e.vec_id != c.cluster
+                   THEN 'near_dup'
+                 ELSE 'ok' END AS reason
+          FROM e
+          LEFT JOIN valid v ON v.vec_id = e.vec_id
+          LEFT JOIN clusters c ON c.vec_id = e.vec_id
+        ) d
     """
 
     # end-to-end minhash_near_dups twin (r1 VERDICT #2): shingles -> 16
@@ -1467,4 +1563,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_ann_recall": lsh_recall_sql,
         "cosine_near_dups": cosine_nd_sql,
+        "embedding_curation": emb_curation_sql,
     }

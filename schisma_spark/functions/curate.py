@@ -63,6 +63,63 @@ def stratified_sample(
     )
 
 
+def embedding_keep_list(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.99,
+    pairs: DataFrame | None = None,
+    cc_shortcut: bool = False,
+    **near_dup_kw,
+) -> DataFrame:
+    """``id_col, keep, reason`` for every row of an EMBEDDING table — the
+    vector-payload twin of :func:`curation_keep_list` (r5), proving the
+    curation machinery is payload-agnostic (text minhash / image pHash /
+    embedding cosine all feed the same cluster-then-canonicalize shape).
+
+    Precedence: ``invalid_vector`` (NULL vector or zero norm — a failed
+    encoder output; such rows are EXCLUDED from the pair stage, which
+    also keeps NaN cosines out of both engines) -> ``near_dup`` (in a
+    cosine-LSH near-dup cluster and not its canonical member) -> ``ok``.
+    The cluster label from :func:`connected_components` IS the minimum
+    member id, and every member is valid by construction, so the label
+    doubles as the canonical id — no survivor-promotion aggregate needed
+    (unlike the text pipeline, there are no earlier gates a canonical
+    could have failed).
+
+    Scale shape: one validity projection, the bucketed cosine near-dup
+    pipeline over valid rows only, the iterative cluster pass, one left
+    join back; nothing collects beyond the per-round convergence
+    scalar."""
+    from schisma_spark.functions.similarity import cosine_near_dups
+
+    v = F.col(vec_col)
+    sq_norm = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    valid = v.isNotNull() & (F.coalesce(sq_norm, F.lit(0.0)) > 0)
+    base = df.select(F.col(id_col), valid.alias("_valid"))
+    if pairs is None:
+        pairs = cosine_near_dups(df.where(valid), id_col, vec_col, dim,
+                                 threshold, **near_dup_kw)
+    cc = (connected_components(pairs, shortcut=cc_shortcut)
+          .withColumnRenamed("node", id_col)
+          .withColumnRenamed("component", "_cluster"))
+    reason = (
+        F.when(~F.col("_valid"), "invalid_vector")
+        .when(F.col("_cluster").isNotNull()
+              & (F.col(id_col) != F.col("_cluster")), "near_dup")
+        .otherwise("ok")
+    )
+    return (
+        base.join(cc, id_col, "left")
+        .select(F.col(id_col), reason.alias("reason"))
+        .select(F.col(id_col), (F.col("reason") == "ok").alias("keep"),
+                "reason")
+    )
+
+
 def curation_keep_list(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -592,6 +592,42 @@ def test_lsh_bucket_stats_and_plane_suggestion(spark):
     assert suggest_n_planes(10**6, 1000) == 10
 
 
+def test_embedding_keep_list_decisions(spark):
+    """r5: the vector-payload curation twin — every row gets exactly one
+    decision; NULL and zero-norm vectors are invalid_vector (and stay out
+    of the pair stage, keeping NaN cosines out); within a near-dup
+    cluster only the min id (the cluster label itself) survives."""
+    from schisma_spark.functions.curate import embedding_keep_list
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),    # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # distinct direction
+        (4, None),                        # failed encoder
+        (5, [0.0, 0.0, 0.0, 0.0]),       # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["vec_id"]: (r["keep"], r["reason"])
+           for r in embedding_keep_list(df, "vec_id", "embedding", dim=4,
+                                        pairs=pairs).collect()}
+    assert len(got) == 5
+    assert got[1] == (True, "ok")
+    assert got[2] == (False, "near_dup")
+    assert got[3] == (True, "ok")
+    assert got[4] == (False, "invalid_vector")
+    assert got[5] == (False, "invalid_vector")
+
+    # end-to-end pair stage (no injected pairs): invalids must not crash
+    # or pair; the 1-2 near-dup must still be found via LSH + verify
+    got2 = {r["vec_id"]: r["reason"]
+            for r in embedding_keep_list(df, "vec_id", "embedding", dim=4,
+                                         threshold=0.95, n_tables=4,
+                                         n_planes=2).collect()}
+    assert got2[4] == "invalid_vector" and got2[5] == "invalid_vector"
+    assert {got2[1], got2[2]} == {"ok", "near_dup"}
+
+
 def test_ivf_refine_monotone_objective(spark):
     """r5: distributed spherical-k-means refinement must (a) be
     deterministic, (b) never decrease the mean max-cosine objective
