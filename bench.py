@@ -286,7 +286,8 @@ def main():
         "validate_variant_events", "recursive_validate",
         "simhash_near_dups", "simhash64_near_dups",
         "conform_variant_events", "dedup_clusters",
-        "curation_keep_list", "stratified_sample",
+        "dedup_clusters_shortcut", "curation_keep_list",
+        "embedding_curation", "stratified_sample",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (
