@@ -1,0 +1,133 @@
+"""spark-submit entry point for the training-data CURATION run.
+
+The cluster invocation mode (BASELINE.json:14), curation flavor::
+
+    spark-submit --py-files /tmp/schisma_spark_pyfiles.zip \
+        jobs/curate_corpus_job.py \
+        --input <parquet-or-iceberg-ref> \
+        --decisions <sink> --manifest <dir> \
+        [--id-col doc_id] [--text-col text] \
+        [--min-quality 0.5] [--min-tokens 5] [--threshold 0.7] \
+        [--hasher native] [--cc-shortcut] [--max-bucket-size N] \
+        [--strata lang --n-per-stratum 100000 --sample <sink>]
+
+One keep/drop decision row per input document (quality gate -> exact
+dedup -> near-dup cluster canonical; functions/curate.py), written to the
+decisions sink BEFORE the manifest append (the done-implies-persisted
+rule). Curation is corpus-global — near-dup pairs cross any partitioning
+— so the manifest records one RUN-level entry with lineage plus the
+per-reason counts as metrics, not per-partition rows; re-running with the
+same run id is skipped.
+
+Optionally down-samples the kept set per stratum (two-stage skew-safe
+rank) into a separate sink — the over-represented-source cap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--decisions", required=True)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--run-id", default=None,
+                    help="idempotency key; default: derived from --input")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--n-hashes", type=int, default=16)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--hasher", default="native",
+                    choices=["native", "portable"],
+                    help="native = xxhash64 (production); portable = md5 "
+                         "(oracle-parity)")
+    ap.add_argument("--max-bucket-size", type=int, default=None,
+                    help="LSH hot-bucket cap (degenerate-content guard)")
+    ap.add_argument("--cc-shortcut", action="store_true",
+                    help="pointer-jump cluster rounds (O(log diameter)); "
+                         "use when the corpus can chain transitively")
+    ap.add_argument("--strata", default=None,
+                    help="comma-separated stratum columns for the "
+                         "kept-set down-sample")
+    ap.add_argument("--n-per-stratum", type=int, default=None)
+    ap.add_argument("--sample", default=None,
+                    help="sink for the down-sampled keep set")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from schisma_spark.functions.curate import (
+        curation_keep_list, stratified_sample,
+    )
+    from schisma_spark.manifest import Manifest
+    from schisma_spark.sources import fan_out, read_table, write_table
+
+    run_id = args.run_id or f"curate:{args.input}"
+    man = Manifest(args.manifest)
+    if run_id in man.done_partitions():
+        print(json.dumps({"skipped": True, "run_id": run_id}))
+        return
+
+    df = fan_out(read_table(spark, args.input)
+                 .select(args.id_col, args.text_col))
+    t0 = time.perf_counter()
+    decisions = curation_keep_list(
+        df, args.id_col, args.text_col,
+        min_quality=args.min_quality, min_tokens=args.min_tokens,
+        cc_shortcut=args.cc_shortcut,
+        threshold=args.threshold, n_hashes=args.n_hashes,
+        bands=args.bands, hasher=args.hasher,
+        max_bucket_size=args.max_bucket_size,
+    )
+    # sink commits BEFORE the manifest append (CLAUDE.md manifest rule)
+    write_table(decisions, args.decisions, mode="append")
+
+    # reason counts re-read from the COMMITTED sink: the manifest metrics
+    # describe what was persisted, and the groupBy is over tiny rows
+    from pyspark.sql import functions as F
+
+    written = read_table(spark, args.decisions)
+    counts = {r["reason"]: r["n"] for r in
+              written.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    wall = time.perf_counter() - t0
+
+    if args.strata and args.n_per_stratum and args.sample:
+        strata = args.strata.split(",")
+        kept_ids = written.where(F.col("keep")).select(args.id_col)
+        kept = (read_table(spark, args.input)
+                .join(kept_ids, args.id_col, "leftsemi"))
+        sample = stratified_sample(kept, strata, args.id_col,
+                                   args.n_per_stratum)
+        write_table(sample, args.sample, mode="append")
+        print(json.dumps({"sample_rows": sample.count()}), file=sys.stderr)
+
+    man.append([{
+        "partition": run_id,
+        "status": "done",
+        "lineage": {"input": args.input, "job": "curate_corpus_job",
+                    "hasher": args.hasher, "threshold": args.threshold},
+        "n_rows": sum(counts.values()),
+        "metrics": {"reasons": counts, "wall_sec": round(wall, 2)},
+    }])
+    print(json.dumps({
+        "run_id": run_id,
+        "rows_decided": sum(counts.values()),
+        "reasons": counts,
+        "wall_sec": round(wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

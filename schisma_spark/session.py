@@ -17,11 +17,29 @@ from pyspark.sql import SparkSession
 
 def package_zip() -> str:
     """Zip the schisma_spark package for --py-files shipping (the
-    north-rule deployment mode). Cached per process; lets executor Python
-    workers import the package regardless of driver cwd."""
+    north-rule deployment mode); lets executor Python workers import the
+    package regardless of driver cwd. Rebuilt whenever ANY package source
+    is newer than the cached zip — an existence-only cache shipped a
+    stale zip that predated newer modules (r5: a spark-submit run of the
+    curation job failed importing functions.curate from a zip built
+    before that module existed)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "schisma_spark_pyfiles.zip")
-    if not os.path.exists(out):
+
+    def _stale() -> bool:
+        if not os.path.exists(out):
+            return True
+        zt = os.path.getmtime(out)
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py") and \
+                        os.path.getmtime(os.path.join(root, f)) > zt:
+                    return True
+        return False
+
+    if _stale():
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for root, _dirs, files in os.walk(pkg_dir):

@@ -52,6 +52,66 @@ def test_job_end_to_end_with_kll_drift(spark, tmp_path, capsys):
     assert viols.count() > 0
 
 
+def test_curate_corpus_job_end_to_end(spark, tmp_path, capsys):
+    """r5: the curation spark-submit entry — one decision row per input
+    document in the committed sink, run-level manifest with per-reason
+    metrics, idempotent re-run, optional stratified sample sink."""
+    from pyspark.sql import Row
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus_job
+
+    good = ("the quick brown fox jumps over the lazy dog while the other "
+            "animals watch from the shade of an old oak tree nearby")
+    rows = []
+    for i in range(60):
+        if i % 7 == 0:
+            txt = "too short"
+        elif i % 11 == 0:
+            txt = good                       # exact-dup group
+        else:
+            txt = f"{good} variant number {i} with its own distinct tail"
+        rows.append(Row(doc_id=i, text=txt,
+                        lang="en" if i % 3 else "de"))
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(inp)
+
+    argv = [
+        "--input", inp,
+        "--decisions", str(tmp_path / "dec"),
+        "--manifest", str(tmp_path / "man"),
+        "--threshold", "0.4",
+        "--strata", "lang", "--n-per-stratum", "5",
+        "--sample", str(tmp_path / "sample"),
+    ]
+    curate_corpus_job.main(argv)
+    out = capsys.readouterr()
+    res = json.loads(out.out.strip().splitlines()[-1])
+    assert res["rows_decided"] == 60
+    assert res["reasons"].get("low_quality", 0) > 0
+    assert res["reasons"].get("exact_dup", 0) > 0
+    assert res["reasons"].get("ok", 0) > 0
+
+    dec = spark.read.parquet(str(tmp_path / "dec"))
+    assert dec.count() == 60
+
+    # down-sample sink: at most n per stratum, only kept docs
+    samp = spark.read.parquet(str(tmp_path / "sample"))
+    from pyspark.sql import functions as F
+    per = {r["lang"]: r["n"] for r in
+           samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 5 for n in per.values())
+    kept = {r["doc_id"] for r in dec.where("keep").collect()}
+    assert {r["doc_id"] for r in samp.collect()} <= kept
+
+    # idempotent re-run: same run id -> skipped, sink NOT double-appended
+    curate_corpus_job.main(argv)
+    out2 = capsys.readouterr()
+    res2 = json.loads(out2.out.strip().splitlines()[-1])
+    assert res2.get("skipped") is True
+    assert spark.read.parquet(str(tmp_path / "dec")).count() == 60
+
+
 def test_job_baseline_compare_errors_propagate(spark, tmp_path, capsys):
     """r2 ADVICE: only a genuinely-absent baseline triggers the first-run
     write; a schema-mismatched (or otherwise broken) baseline must RAISE,

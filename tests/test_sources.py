@@ -128,3 +128,37 @@ def test_fan_out_guard(spark, tmp_path):
 
     wide = spark.range(1000).repartition(n + 4)
     assert fan_out(wide) is wide  # untouched, no shuffle added
+
+
+def test_package_zip_rebuilds_on_newer_source():
+    """r5: the --py-files zip must REBUILD when any package source is
+    newer than the cached zip — an existence-only cache shipped a stale
+    zip missing modules added after it was first built (caught live: a
+    spark-submit curation run failed importing functions.curate)."""
+    import os
+    import time
+    import zipfile
+
+    import schisma_spark
+    from schisma_spark.session import package_zip
+
+    out = package_zip()
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+    assert "schisma_spark/functions/curate.py" in names
+
+    # age the zip behind one source file -> next call rebuilds
+    src = os.path.join(os.path.dirname(schisma_spark.__file__),
+                       "functions", "curate.py")
+    old = os.path.getmtime(src) - 10
+    os.utime(out, (old, old))
+    assert os.path.getmtime(src) > os.path.getmtime(out)
+    before = os.path.getmtime(out)
+    package_zip()
+    assert os.path.getmtime(out) > before
+
+    # fresh zip with no newer sources is NOT rebuilt
+    t = os.path.getmtime(out)
+    time.sleep(0.01)
+    package_zip()
+    assert os.path.getmtime(out) == t
