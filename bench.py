@@ -408,6 +408,12 @@ def _reference_throughput():
     here = os.path.dirname(os.path.abspath(__file__))
     mjs = os.path.join(here, "tools", "ref_bench.mjs")
     cache = os.path.join(CACHE, "ref_bench.json")
+    if not os.path.exists(mjs):
+        try:
+            with open(cache) as f:
+                return json.load(f)
+        except Exception:
+            return None
     if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(mjs):
         try:
             with open(cache) as f:

@@ -93,19 +93,20 @@ def main(argv=None):
     # sink commits BEFORE the manifest append (CLAUDE.md manifest rule)
     write_table(decisions, args.decisions, mode="append")
 
-    # reason counts re-read from the COMMITTED sink: the manifest metrics
-    # describe what was persisted, and the groupBy is over tiny rows
+    # reason counts from THIS run's decisions frame (deterministic — the
+    # write above committed exactly these rows), NOT a re-read of the
+    # whole sink: with mode=append a sink carrying earlier runs' rows
+    # would inflate this run's manifest metrics (r5 self-review)
     from pyspark.sql import functions as F
 
-    written = read_table(spark, args.decisions)
     counts = {r["reason"]: r["n"] for r in
-              written.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+              decisions.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
               .collect()}
     wall = time.perf_counter() - t0
 
     if args.strata and args.n_per_stratum and args.sample:
         strata = args.strata.split(",")
-        kept_ids = written.where(F.col("keep")).select(args.id_col)
+        kept_ids = decisions.where(F.col("keep")).select(args.id_col)
         kept = (read_table(spark, args.input)
                 .join(kept_ids, args.id_col, "leftsemi"))
         sample = stratified_sample(kept, strata, args.id_col,

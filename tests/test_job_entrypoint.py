@@ -111,6 +111,15 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path, capsys):
     assert res2.get("skipped") is True
     assert spark.read.parquet(str(tmp_path / "dec")).count() == 60
 
+    # a DIFFERENT run id appends to the same sink, but its manifest
+    # metrics count only ITS OWN decisions (r5 self-review: a re-read of
+    # the appended sink would have reported 120)
+    curate_corpus_job.main(argv + ["--run-id", "second"])
+    out3 = capsys.readouterr()
+    res3 = json.loads(out3.out.strip().splitlines()[-1])
+    assert res3["rows_decided"] == 60
+    assert spark.read.parquet(str(tmp_path / "dec")).count() == 120
+
 
 def test_job_baseline_compare_errors_propagate(spark, tmp_path, capsys):
     """r2 ADVICE: only a genuinely-absent baseline triggers the first-run
