@@ -386,6 +386,23 @@ def connected_components(
                          F.col(a_col).alias("dst")))
         .distinct()
     )
+    # right-size the graph frames ONCE (r5): the pair graph is sparse
+    # relative to the corpus (most docs never pair), and localCheckpoint
+    # FREEZES partitioning — AQE re-coalesces shuffles inside a round but
+    # never the checkpointed frames themselves, so a mega-corpus whose
+    # graph collapsed to thousands of edges would carry thousands of
+    # near-empty tasks into EVERY round at production partition counts.
+    # The count is one cheap job over already-materialized checkpoint
+    # blocks. (Measured flat at test SF — there the per-round wall is
+    # driver/job overhead, not task count; this guards the at-scale
+    # shape.)
+    n_edges = edges.count()
+    target = max(1, min(edges.rdd.getNumPartitions(),
+                        (n_edges // 50_000) + 1))
+    if target < edges.rdd.getNumPartitions():
+        resized, rids = _ckpt(edges.repartition(target, "dst"))
+        _free(eids)
+        edges, eids = resized, rids
     labels, lids = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
