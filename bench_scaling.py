@@ -308,6 +308,16 @@ path ({vs_spark_stats:.2f}) and the ceiling-normalized decode efficiency
 residual raw gap is the shared single-box platform floor, demonstrated by
 the control row, which a multi-executor cluster removes by construction.
 {ref_section}
+**Cross-round reference points** (same engine code on the stats/decode
+paths since r4; git history holds each round's full table). Calm-box r4:
+control 0.489, stats paired 0.99, decode normalized 0.948 (266k rows/s
+@32). Contended r5 attempt: control 0.375, stats paired 1.26, decode
+normalized 0.656 (149k rows/s @32). Calm r5: control 0.452, stats paired
+0.97, decode normalized 0.792 (216k rows/s @32). The PAIRED stats signal
+is stable at ~1.0 across every box state — the engine adds no scaling
+bottleneck — while decode's normalized efficiency tracks box weather
+(0.948 -> 0.656 -> 0.792) with the decode code unchanged.
+
 **Host-contention caveat (r5).** This VM's walls can swing far beyond the
 ±25% thermal band when the underlying HOST is contended (observed r5: an
 identical bench invocation measured 145 s, then 93 s, then 108 s suite
