@@ -506,6 +506,36 @@ def test_stratified_sample_two_stage_skew_safe(spark):
     assert "_salt" in plan
 
 
+def test_stratified_two_stage_equals_single_stage_randomized(spark):
+    """r5: the two-stage rank must equal the single-window answer for ANY
+    corpus and salt count — several random shapes (uniform, skewed,
+    tiny strata, n_salts 1 and 64) recomputed against the plain
+    definition in Python."""
+    import hashlib
+    import random
+
+    from schisma_spark.functions.curate import stratified_sample
+
+    def hk(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    for seed, n_salts, cap in ((1, 1, 7), (2, 64, 3), (3, 8, 12)):
+        rng = random.Random(seed)
+        langs = ["en", "de", "fr", "xx"]
+        weights = [0.7, 0.2, 0.07, 0.03] if seed != 2 else [0.97, .01, .01, .01]
+        rows = [(i, rng.choices(langs, weights)[0]) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = {(r["lang"], r["doc_id"]) for r in
+               stratified_sample(df, ["lang"], "doc_id", cap,
+                                 n_salts=n_salts).collect()}
+        expect = set()
+        for lang in langs:
+            ids = [i for i, l in rows if l == lang]
+            expect |= {(lang, i) for i in
+                       sorted(ids, key=lambda i: (hk(i), i))[:cap]}
+        assert got == expect, (seed, n_salts, cap)
+
+
 def test_curation_survivor_promotion(spark):
     """r4 review: when a near-dup cluster's min-id member fails an
     earlier gate, the NEXT surviving member must be promoted to

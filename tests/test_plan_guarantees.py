@@ -130,3 +130,60 @@ def test_ivf_join_not_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_near_dup_plans_not_cartesian(spark):
+    """r5: every banded near-dup operator must stay an equi-join on its
+    band keys end to end — a refactor that loses the join keys would
+    silently plan a cartesian / nested-loop and only blow up at scale."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.dedup import (
+        hamming_near_dups, minhash_near_dups, simhash64_near_dups,
+        simhash_near_dups,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the quick brown fox number {i} jumps over "
+                            f"the lazy dog {i % 3}") for i in range(30)]
+    )
+    sigs = spark.createDataFrame(
+        [Row(id=i, sig=(i * 7919) % (1 << 32)) for i in range(30)]
+    )
+    plans = {
+        "minhash": minhash_near_dups(docs, "text", "doc_id",
+                                     threshold=0.5),
+        "simhash32": simhash_near_dups(docs, "text", "doc_id"),
+        "simhash64": simhash64_near_dups(docs, "text", "doc_id"),
+        "hamming": hamming_near_dups(sigs, "sig", "id", max_hamming=3),
+    }
+    for name, out in plans.items():
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_curation_plans_not_cartesian(spark):
+    """r5: the composed curation pipelines (text + embedding) inherit the
+    near-dup join shapes — guard the whole composition too."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.curate import (
+        curation_keep_list, embedding_keep_list,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the quick brown fox number {i} jumps over "
+                            f"the lazy dog while the other animals watch")
+         for i in range(25)]
+    )
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 5), 1.0, 0.5, 0.25])
+         for i in range(25)]
+    )
+    for name, out in {
+        "text": curation_keep_list(docs, threshold=0.5),
+        "embedding": embedding_keep_list(emb, "vec_id", "embedding",
+                                         dim=4, n_tables=2, n_planes=2),
+    }.items():
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
