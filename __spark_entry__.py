@@ -609,6 +609,30 @@ def q_dedup_clusters_shortcut(spark, sf):
                      F.col("component").cast("long").alias("cluster_id"))
 
 
+def q_signature_curation(spark, sf):
+    """Generic signature-payload curation (r5): keep/drop over the
+    documents table's 60-bit portable simhash64 signatures — the same
+    function serves image pHash columns. Plants: exact copies
+    (doc_id%25 at +1000000, guaranteed hamming-0 clusters) and NULL
+    signatures (doc_id%41 — upstream hash failures must yield an
+    invalid_signature row, never a dropped row). Oracle reassembles the
+    16-bit-band candidates, exact-hamming pairs, recursive-CTE clusters
+    and reason precedence."""
+    from schisma_spark.functions.curate import signature_keep_list
+    from schisma_spark.functions.dedup import simhash64
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    dups = d.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    aug = d.unionByName(dups)
+    sig = F.when(F.col("doc_id") % 41 == 0,
+                 F.lit(None).cast("long")).otherwise(
+        simhash64(F.col("text")))
+    s = aug.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   sig.alias("sig"))
+    return signature_keep_list(s, "doc_id", "sig", max_hamming=3)
+
+
 def q_embedding_curation(spark, sf):
     """Embedding-payload curation keep-list (r5): the vector twin of
     curation_keep_list over the embeddings table augmented with planted
@@ -723,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_shortcut": q_dedup_clusters_shortcut,
         "curation_keep_list": q_curation_keep_list,
         "embedding_curation": q_embedding_curation,
+        "signature_curation": q_signature_curation,
         "stratified_sample": q_stratified_sample,
     }
 
@@ -1283,6 +1308,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, bit_count(xor(sa, sb))::int AS hamming
             FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "signature_curation": f"""
+            -- generic signature keep-list over the 60-bit portable
+            -- simhash: 16-bit-band candidates -> exact-hamming pairs ->
+            -- recursive-CTE clusters -> reason precedence; NULL-planted
+            -- signatures (doc_id%41) must keep their row as
+            -- invalid_signature
+            WITH RECURSIVE d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 25 = 0
+            ),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 41 = 0 THEN NULL
+                          ELSE ({simhash64_expr})::bigint END AS sim
+              FROM (SELECT doc_id, {_WORDS} AS w FROM d)
+            ),
+            v AS (SELECT doc_id, sim FROM s WHERE sim IS NOT NULL),
+            banded AS (
+              SELECT doc_id, sim, b AS band_idx,
+                     (sim >> (16*b)) & 65535 AS band_val
+              FROM v CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) t
+            ),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION SELECT id_b, id_a FROM prs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e2.dst FROM reach r
+              JOIN edges e2 ON r.dst = e2.src
+            ),
+            clusters AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS cluster
+              FROM reach GROUP BY src
+            )
+            SELECT q.doc_id::bigint AS doc_id, (q.reason = 'ok') AS keep,
+                   q.reason AS reason
+            FROM (
+              SELECT s.doc_id,
+                CASE WHEN s.sim IS NULL THEN 'invalid_signature'
+                     WHEN c.cluster IS NOT NULL AND s.doc_id != c.cluster
+                       THEN 'near_dup'
+                     ELSE 'ok' END AS reason
+              FROM s LEFT JOIN clusters c ON c.doc_id = s.doc_id
+            ) q
         """,
         "ann_topk": """
             SELECT * FROM (

@@ -287,7 +287,7 @@ def main():
         "simhash_near_dups", "simhash64_near_dups",
         "conform_variant_events", "dedup_clusters",
         "dedup_clusters_shortcut", "curation_keep_list",
-        "embedding_curation", "stratified_sample",
+        "embedding_curation", "signature_curation", "stratified_sample",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

@@ -120,6 +120,56 @@ def embedding_keep_list(
     )
 
 
+def signature_keep_list(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    pairs: DataFrame | None = None,
+    cc_shortcut: bool = False,
+    **banding_kw,
+) -> DataFrame:
+    """``id_col, keep, reason`` over ANY int64-signature column — one
+    curation function for every signature payload (r5): text
+    ``simhash64``, image ``phash64``, or any future 64-bit fingerprint,
+    all through :func:`dedup.hamming_near_dups`'s banded pigeonhole join.
+
+    Precedence: ``invalid_signature`` (NULL signature — upstream hash
+    failure; excluded from the pair stage) -> ``near_dup`` (in a banded-
+    Hamming cluster and not its canonical = the cluster label, provably
+    the min member) -> ``ok``. NOTE the all-zero signature is a VALID
+    value (simhash of empty text is 0), so empty-payload docs genuinely
+    cluster together at hamming 0 — at corpus scale that bucket is the
+    degenerate one; pass ``max_bucket_size`` (via ``banding_kw``) or
+    quality-gate empties upstream (:func:`curation_keep_list` does).
+
+    Scale shape: one banded self-join over valid rows (O(rows x bands)
+    shuffle, never all-pairs), the iterative cluster pass, one left join
+    back."""
+    from schisma_spark.functions.dedup import hamming_near_dups
+
+    valid = F.col(sig_col).isNotNull()
+    base = df.select(F.col(id_col), valid.alias("_valid"))
+    if pairs is None:
+        pairs = hamming_near_dups(df.where(valid), sig_col, id_col,
+                                  max_hamming=max_hamming, **banding_kw)
+    cc = (connected_components(pairs, shortcut=cc_shortcut)
+          .withColumnRenamed("node", id_col)
+          .withColumnRenamed("component", "_cluster"))
+    reason = (
+        F.when(~F.col("_valid"), "invalid_signature")
+        .when(F.col("_cluster").isNotNull()
+              & (F.col(id_col) != F.col("_cluster")), "near_dup")
+        .otherwise("ok")
+    )
+    return (
+        base.join(cc, id_col, "left")
+        .select(F.col(id_col), reason.alias("reason"))
+        .select(F.col(id_col), (F.col("reason") == "ok").alias("keep"),
+                "reason")
+    )
+
+
 def curation_keep_list(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -658,6 +658,30 @@ def test_embedding_keep_list_decisions(spark):
     assert {got2[1], got2[2]} == {"ok", "near_dup"}
 
 
+def test_signature_keep_list_decisions(spark):
+    """r5: the generic int64-signature curation — NULL signatures keep
+    their row as invalid_signature; hamming-banded clusters keep exactly
+    the min member; distinct signatures survive. Works identically for
+    image pHash and text simhash columns."""
+    from schisma_spark.functions.curate import signature_keep_list
+
+    rows = [
+        (1, 0b1010101),
+        (2, 0b1010100),          # hamming 1 from sig 1 -> near-dup
+        (3, 0b1010101 << 30),    # far away
+        (4, None),               # upstream hash failure
+    ]
+    df = spark.createDataFrame(rows, "img_id long, phash long")
+    got = {r["img_id"]: (r["keep"], r["reason"])
+           for r in signature_keep_list(df, "img_id", "phash",
+                                        max_hamming=3).collect()}
+    assert len(got) == 4
+    assert got[1] == (True, "ok")          # cluster canonical
+    assert got[2] == (False, "near_dup")
+    assert got[3] == (True, "ok")
+    assert got[4] == (False, "invalid_signature")
+
+
 def test_ivf_refine_monotone_objective(spark):
     """r5: distributed spherical-k-means refinement must (a) be
     deterministic, (b) never decrease the mean max-cosine objective
