@@ -128,3 +128,23 @@ def image_near_dups(
     return hamming_near_dups(hashed, "phash64", id_col,
                              max_hamming=max_hamming,
                              max_bucket_size=max_bucket_size)
+
+
+def image_keep_list(
+    df: DataFrame,
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+    **keep_kw,
+) -> DataFrame:
+    """``id_col, keep, reason`` per IMAGE (r5): decode + pHash in one
+    Arrow pass, then the generic :func:`curate.signature_keep_list` over
+    the 64-bit perceptual hash — undecodable images keep their row as
+    ``invalid_signature`` (compute_phash yields NULL for failed decodes),
+    near-dup clusters keep exactly the min-id member. The image twin of
+    the text and embedding keep-lists; ``keep_kw`` forwards banding /
+    ``max_bucket_size`` / ``cc_shortcut``."""
+    from schisma_spark.functions.curate import signature_keep_list
+
+    hashed = compute_phash(df, keep_cols=[id_col])
+    return signature_keep_list(hashed, id_col, "phash64",
+                               max_hamming=max_hamming, **keep_kw)

@@ -81,3 +81,36 @@ def test_image_near_dups_matches_brute_force(spark):
                 exp[(x, y)] = h
     assert got == exp
     assert got[("a0", "a1")] == 0
+
+
+def test_image_keep_list_end_to_end(spark):
+    """r5: the image-payload keep-list — undecodable images keep their
+    row as invalid_signature, perceptual-dup clusters keep the min id,
+    distinct images survive. Decode + pHash + curation in one call."""
+    from pyspark.sql import Row
+
+    from schisma_spark.image.phash import image_keep_list
+    from schisma_spark.image.synth import encode_image, gen_pixels
+
+    base = gen_pixels("img-000000000001", 32, 32)
+    rows = [
+        Row(image_id="a0", bytes=bytearray(encode_image(base, "raw")),
+            w=32, h=32, fmt="raw"),
+        Row(image_id="a1", bytes=bytearray(encode_image(base, "bmp")),
+            w=32, h=32, fmt="bmp"),             # same pixels -> dup of a0
+        Row(image_id="broken", bytes=bytearray(b"\x00\x01"),
+            w=32, h=32, fmt="raw"),             # undecodable
+    ]
+    for i in range(3, 12):
+        px = gen_pixels(f"img-{i:012d}", 32, 32)
+        rows.append(Row(image_id=f"d{i}",
+                        bytes=bytearray(encode_image(px, "raw")),
+                        w=32, h=32, fmt="raw"))
+    df = spark.createDataFrame(rows)
+    got = {r["image_id"]: (r["keep"], r["reason"])
+           for r in image_keep_list(df).collect()}
+    assert len(got) == len(rows)               # every image decided
+    assert got["a0"] == (True, "ok")           # min id of the dup cluster
+    assert got["a1"] == (False, "near_dup")
+    assert got["broken"] == (False, "invalid_signature")
+    assert all(got[f"d{i}"][1] in ("ok", "near_dup") for i in range(3, 12))
