@@ -637,10 +637,14 @@ def q_embedding_curation(spark, sf):
     """Embedding-payload curation keep-list (r5): the vector twin of
     curation_keep_list over the embeddings table augmented with planted
     exact duplicates (vec_id%25 copies at +100000, the cosine_near_dups
-    plant) and planted NULL vectors (vec_id%97 — failed-encoder rows
-    must yield an invalid_vector decision, never a dropped row). Oracle
-    reassembles the same hyperplane buckets, exact-cosine pairs,
-    recursive-CTE clusters and reason precedence."""
+    plant), planted NULL vectors (vec_id%97 — failed-encoder rows
+    must yield an invalid_vector decision, never a dropped row) and
+    planted all-NaN vectors (vec_id%89 — r5 ADVICE: NaN compares
+    greater-than-everything in both engines, so an ungated NaN vector
+    would pair with every bucket-mate and transitively merge unrelated
+    clusters; the finiteness gate must catch it). Oracle reassembles
+    the same hyperplane buckets, exact-cosine pairs, recursive-CTE
+    clusters and reason precedence."""
     from schisma_spark.functions.curate import embedding_keep_list
 
     emb = fan_out(_t(spark, sf, "embeddings").select("vec_id", "embedding"))
@@ -648,9 +652,14 @@ def q_embedding_curation(spark, sf):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     aug = emb.unionByName(dups)
     vec_t = aug.schema["embedding"].dataType
+    elem_t = vec_t.elementType.simpleString()
+    vid = F.col("vec_id")
     planted = aug.select(
         "vec_id",
-        F.when(F.col("vec_id") % 97 == 0, F.lit(None).cast(vec_t))
+        F.when(vid % 97 == 0, F.lit(None).cast(vec_t))
+        .when(vid % 89 == 0,
+              F.transform(F.col("embedding"),
+                          lambda x: F.lit(float("nan")).cast(elem_t)))
         .otherwise(F.col("embedding")).alias("embedding"),
     )
     out = embedding_keep_list(planted, "vec_id", "embedding", dim=64,
@@ -962,6 +971,8 @@ def oracle_sql() -> dict[str, str]:
         e AS (
           SELECT vec_id,
                  CASE WHEN vec_id % 97 = 0 THEN NULL
+                      WHEN vec_id % 89 = 0 THEN
+                        list_transform(embedding, x -> 'nan'::FLOAT)
                       ELSE embedding END AS embedding
           FROM e0
         ),
@@ -969,7 +980,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM e
           WHERE embedding IS NOT NULL AND
                 coalesce(list_sum(list_transform(embedding::DOUBLE[],
-                                                 x -> x*x)), 0) > 0
+                                                 x -> x*x)), 0) > 0 AND
+                isfinite(coalesce(list_sum(list_transform(
+                  embedding::DOUBLE[], x -> x*x)), 0))
         ),
         sigs AS (SELECT vec_id, [{nd6_sig_list}] AS sg FROM valid),
         banded AS (

@@ -90,6 +90,11 @@ def main(argv=None):
         bands=args.bands, hasher=args.hasher,
         max_bucket_size=args.max_bucket_size,
     )
+    # one materialization for the write + reason counts + kept-ids
+    # semi-join below (r5 ADVICE: without this the fingerprint/quality/
+    # minhash stages re-scan the full corpus up to 3x — only the CC
+    # labels inside curation_keep_list are checkpointed)
+    decisions = decisions.persist()
     # sink commits BEFORE the manifest append (CLAUDE.md manifest rule)
     write_table(decisions, args.decisions, mode="append")
 
@@ -114,6 +119,7 @@ def main(argv=None):
         write_table(sample, args.sample, mode="append")
         print(json.dumps({"sample_rows": sample.count()}), file=sys.stderr)
 
+    decisions.unpersist()
     man.append([{
         "partition": run_id,
         "status": "done",

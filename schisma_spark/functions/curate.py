@@ -78,9 +78,12 @@ def embedding_keep_list(
     curation machinery is payload-agnostic (text minhash / image pHash /
     embedding cosine all feed the same cluster-then-canonicalize shape).
 
-    Precedence: ``invalid_vector`` (NULL vector or zero norm — a failed
-    encoder output; such rows are EXCLUDED from the pair stage, which
-    also keeps NaN cosines out of both engines) -> ``near_dup`` (in a
+    Precedence: ``invalid_vector`` (NULL vector, zero norm, or a
+    NON-FINITE norm — NaN/Inf elements are common failed-encoder
+    outputs, and because NaN compares greater-than-everything in both
+    Spark and DuckDB a NaN cosine would pass the ``>= threshold``
+    filter and transitively merge unrelated clusters (r5 ADVICE); such
+    rows are EXCLUDED from the pair stage) -> ``near_dup`` (in a
     cosine-LSH near-dup cluster and not its canonical member) -> ``ok``.
     The cluster label from :func:`connected_components` IS the minimum
     member id, and every member is valid by construction, so the label
@@ -98,7 +101,13 @@ def embedding_keep_list(
     sq_norm = F.aggregate(
         v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
-    valid = v.isNotNull() & (F.coalesce(sq_norm, F.lit(0.0)) > 0)
+    # finiteness: NaN/Inf norms fail `< inf` under Spark's NaN ordering
+    # (NaN > everything), mirroring DuckDB isfinite() in the oracle
+    valid = (
+        v.isNotNull()
+        & (F.coalesce(sq_norm, F.lit(0.0)) > 0)
+        & (sq_norm < F.lit(float("inf")))
+    )
     base = df.select(F.col(id_col), valid.alias("_valid"))
     if pairs is None:
         pairs = cosine_near_dups(df.where(valid), id_col, vec_col, dim,

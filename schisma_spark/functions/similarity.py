@@ -161,17 +161,26 @@ def suggest_n_planes(n_rows: int, target_bucket_size: int = 1024) -> int:
 
 
 def _resolve_n_planes(df: DataFrame, n_planes: int | None,
-                      target_bucket_size: int) -> int:
-    """``n_planes=None`` -> derive from a cheap ``df.count()`` via
+                      target_bucket_size: int,
+                      n_rows: int | None = None) -> int:
+    """``n_planes=None`` -> derive from the corpus size via
     ``suggest_n_planes`` (r4 VERDICT #2: the fixed defaults were toy-scale
     — 16..64 buckets/table is near-cartesian at 10^12 rows, and a caller
-    who never read the sizing docstring got that silently). The count is
-    one metadata-friendly aggregate over the id/vector scan — trivial next
-    to the bucketed self-join it protects. Explicit values pass through
+    who never read the sizing docstring got that silently).
+
+    CAVEAT (r5 ADVICE): with ``n_planes=None`` and no ``n_rows`` hint
+    this runs an EAGER ``df.count()`` job at DataFrame-CONSTRUCTION time
+    — the builder is no longer purely lazy, the count runs on the raw
+    input before any caller-side filtering materializes, and a caller
+    rebuilding the plan per bench pass pays it every time. Callers that
+    already know (or can estimate) the corpus size should pass ``n_rows``
+    to keep construction lazy; explicit ``n_planes`` values pass through
     untouched (oracle queries pin them)."""
     if n_planes is not None:
         return n_planes
-    return suggest_n_planes(df.count(), target_bucket_size)
+    if n_rows is None:
+        n_rows = df.count()
+    return suggest_n_planes(n_rows, target_bucket_size)
 
 
 def lsh_bucket_stats(
@@ -181,6 +190,7 @@ def lsh_bucket_stats(
     n_tables: int = 8,
     n_planes: int | None = None,
     target_bucket_size: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-table bucket-occupancy report for the hyperplane-LSH operators
     (r3 VERDICT #5): ``table_id, n_buckets, n_rows, max_bucket, p50_bucket,
@@ -191,8 +201,10 @@ def lsh_bucket_stats(
     set ``max_bucket_size``. Cost: one groupBy over the exploded
     (table, bucket) keys — the same shuffle shape as the operator itself,
     cheap relative to the join it is protecting. ``n_planes=None``
-    reports on the same derived m the operators would use."""
-    n_planes = _resolve_n_planes(df, n_planes, target_bucket_size)
+    reports on the same derived m the operators would use (an EAGER
+    count at call time unless ``n_rows`` is given — see
+    ``_resolve_n_planes``)."""
+    n_planes = _resolve_n_planes(df, n_planes, target_bucket_size, n_rows)
     sigs = hyperplane_signatures(
         F.col(vec_col), dim, n_planes, [f"t{t}" for t in range(n_tables)]
     )
@@ -228,6 +240,7 @@ def cosine_near_dups(
     round_to: int | None = 6,
     max_bucket_size: int | None = None,
     target_bucket_size: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the dedup-mode twin of
     minhash_near_dups for vector columns): hyperplane-LSH bucketed
@@ -241,12 +254,15 @@ def cosine_near_dups(
     for per-plane agreement p is 1-(1-p^m)^L).
 
     m SIZES ITSELF TO THE CORPUS (r4 VERDICT #2): ``n_planes=None`` (the
-    default) derives m from one cheap count via ``suggest_n_planes`` —
+    default) derives m from the corpus size via ``suggest_n_planes`` —
     expected occupancy is N/2^m, so any FIXED m degenerates at some scale.
-    Pass an explicit m only when pinning reproducible buckets (the oracle
-    queries do); check real skew with ``lsh_bucket_stats`` and bound the
-    degenerate tail with ``max_bucket_size``."""
-    n_planes = _resolve_n_planes(df, n_planes, target_bucket_size)
+    Without an ``n_rows`` hint that derivation runs an EAGER count at
+    construction time (r5 ADVICE — see ``_resolve_n_planes``); pass
+    ``n_rows`` to stay lazy. Pass an explicit m only when pinning
+    reproducible buckets (the oracle queries do); check real skew with
+    ``lsh_bucket_stats`` and bound the degenerate tail with
+    ``max_bucket_size``."""
+    n_planes = _resolve_n_planes(df, n_planes, target_bucket_size, n_rows)
     sigs = hyperplane_signatures(
         F.col(vec_col), dim, n_planes, [f"t{t}" for t in range(n_tables)]
     )
@@ -311,16 +327,24 @@ def ivf_refine_centroids(
     the closed-form maximizer of the summed cosine objective, so the
     objective is monotonically non-decreasing (property-tested).
 
-    Scale shape: one pass per iteration — a groupBy on the cell id with
-    ``dim`` scalar SUM aggregates plus a count (map-side partials; only
-    n_cells x (dim+1) scalars shuffle, never vectors), and a driver
-    collect bounded at n_centroids rows. Empty cells keep their previous
-    centroid (the standard Lloyd convention). The codebook stays a
-    driver-side literal, so the refined operator keeps the
-    assignment-is-one-projection property of :func:`ivf_ann_topk`."""
+    Scale shape: one pass per iteration — posexplode the unit vector to
+    (cell, pos, x) and groupBy (cell, pos) with ONE scalar SUM (map-side
+    partials bound the shuffle at n_cells x dim scalars), then one tiny
+    re-agg to n_cells array rows for a driver collect bounded at
+    n_centroids rows. The plan is CONSTANT-WIDTH in ``dim`` (r5
+    VERDICT #5 / ADVICE: the previous ``dim`` separate
+    ``F.sum(element_at(...))`` aggregate columns meant thousands of py4j
+    driver-tree calls plus a thousands-of-columns aggregate at
+    production dims 768-4096 — the CLAUDE.md driver-OOM shape). Empty
+    cells keep their previous centroid (the standard Lloyd convention).
+    The codebook stays a driver-side literal, so the refined operator
+    keeps the assignment-is-one-projection property of
+    :func:`ivf_ann_topk`. NOTE: refined centroids are deterministic only
+    up to float-addition order (reduce-side merge order is not
+    guaranteed) — bit-exact reproducibility is not promised, which is
+    why the oracle operator defaults to ``refine_iters=0``."""
     import math
 
-    dim = len(cents[0])
     # unit vectors once per iteration pass; zero vectors contribute zeros
     unit = bind(
         _norm(F.col(vec_col)),
@@ -355,11 +379,17 @@ def ivf_refine_centroids(
         )
         sums = (
             df.select(cell.alias("_cell"), unit.alias("_u"))
+            .select("_cell", F.posexplode("_u").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
             .groupBy("_cell")
             .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[F.sum(F.element_at(F.col("_u"), i + 1)).alias(f"_s{i}")
-                  for i in range(dim)],
+                F.max("_n").alias("_n"),
+                # struct sort orders by _pos (first field) -> the summed
+                # vector comes back in element order, one row per cell
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_s"))
+                ).alias("_ps"),
             )
         )
         rows = {r["_cell"]: r for r in sums.collect()}  # <= n_centroids
@@ -369,7 +399,7 @@ def ivf_refine_centroids(
             if r is None or not r["_n"]:
                 new_cents.append([float(x) for x in c])
                 continue
-            mean = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
+            mean = [p["_s"] / r["_n"] for p in r["_ps"]]
             nrm = math.sqrt(sum(x * x for x in mean)) or 1.0
             new_cents.append([x / nrm for x in mean])
         cents = new_cents
@@ -494,6 +524,7 @@ def lsh_ann_topk(
     round_to: int | None = 6,
     max_bucket_size: int | None = None,
     target_bucket_size: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L
     independent tables of m planes each; a pair is a candidate when it
@@ -506,13 +537,14 @@ def lsh_ann_topk(
     deduped before scoring so each pair's cosine is computed once.
 
     m SIZES ITSELF TO THE CORPUS (r4 VERDICT #2): ``n_planes=None`` (the
-    default) derives m from one cheap count of the TABLE side via
+    default) derives m from the TABLE-side corpus size via
     ``suggest_n_planes`` — expected occupancy is N/2^m, so any fixed m
-    degenerates at some scale. Pass an explicit m only to pin
-    reproducible buckets (the oracle queries do); verify skew with
-    ``lsh_bucket_stats``; ``max_bucket_size`` bounds the degenerate
-    tail."""
-    n_planes = _resolve_n_planes(df, n_planes, target_bucket_size)
+    degenerates at some scale. Without an ``n_rows`` hint that is an
+    EAGER count at construction time (r5 ADVICE); pass ``n_rows`` to
+    stay lazy. Pass an explicit m only to pin reproducible buckets (the
+    oracle queries do); verify skew with ``lsh_bucket_stats``;
+    ``max_bucket_size`` bounds the degenerate tail."""
+    n_planes = _resolve_n_planes(df, n_planes, target_bucket_size, n_rows)
     sigs = hyperplane_signatures(
         F.col(vec_col), dim, n_planes, [f"t{t}" for t in range(n_tables)]
     )
