@@ -714,6 +714,49 @@ def q_curation_keep_list(spark, sf):
                               n_hashes=16, bands=4)
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (r6, r5 VERDICT #4): flag corpus
+    documents whose word 3-gram shingles overlap the eval set (docs with
+    doc_id%201==0 stand in for a benchmark table — they contaminate
+    themselves verbatim, so every decision path fires: full-overlap
+    flags, partial organic overlaps from the shared synthetic vocabulary
+    exercise the min_overlap threshold, and short/overlap-free docs stay
+    clean). Oracle recomputes the identical shingle-hash semi-join."""
+    from schisma_spark.functions.dedup import decontaminate
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    ev = d.where(F.col("doc_id") % 201 == 0).select("text")
+    out = decontaminate(d, ev, "text", "doc_id", min_overlap=2)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("n_shingles").cast("int").alias("n_shingles"),
+                      "n_overlap", "contaminated")
+
+
+def q_strip_boilerplate(spark, sf):
+    """Boilerplate line removal (r6, r5 VERDICT #6): documents are
+    augmented with planted boilerplate lines ('Subscribe...' on doc%3,
+    'All rights reserved.' on doc%3 and doc%7) whose doc-frequency
+    crosses the min_docs=100 floor while every organic line stays below
+    it; the cleaned text, line counts and removal counts are hashed.
+    Oracle rebuilds the same line explode / frequency floor / ordered
+    string_agg."""
+    from schisma_spark.functions.text import strip_boilerplate
+
+    did = F.col("doc_id")
+    d = fan_out(_t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(did % 3 == 0,
+               F.concat(F.lit("Subscribe to our newsletter!\n"),
+                        F.col("text"),
+                        F.lit("\nAll rights reserved.")))
+        .when(did % 7 == 0,
+              F.concat(F.col("text"), F.lit("\nAll rights reserved.")))
+        .otherwise(F.col("text")).alias("text")))
+    out = strip_boilerplate(d, "text", "doc_id", min_docs=100)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "text_clean", "n_lines", "n_removed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lineitem": q_stats_lineitem,
@@ -758,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_curation": q_embedding_curation,
         "signature_curation": q_signature_curation,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -1658,4 +1703,75 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_recall": lsh_recall_sql,
         "cosine_near_dups": cosine_nd_sql,
         "embedding_curation": emb_curation_sql,
+        # decontaminate twin (r6): same word 3-gram shingles, same
+        # portable md5 hashes, eval set = doc_id%201 docs' distinct
+        # shingle hashes, overlap counted per corpus doc
+        "decontaminate": f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     coalesce(list_transform({_SHINGLES3},
+                              s -> ('0x'||substr(md5(s),1,8))::int64),
+                              []::bigint[]) AS shs
+              FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+            ),
+            ev AS (
+              SELECT DISTINCT unnest(shs) AS h FROM corpus
+              WHERE doc_id % 201 = 0
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n_overlap
+              FROM (SELECT doc_id, unnest(shs) AS h FROM corpus) c
+              JOIN ev USING (h)
+              GROUP BY doc_id
+            )
+            SELECT c.doc_id::bigint AS doc_id,
+                   len(c.shs)::int AS n_shingles,
+                   coalesce(h.n_overlap, 0)::bigint AS n_overlap,
+                   coalesce(h.n_overlap, 0) >= 2 AS contaminated
+            FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        # strip_boilerplate twin (r6): same planted lines, line explode
+        # with positions (parallel unnest zips), distinct-doc frequency
+        # floor, ordered string_agg reassembly
+        "strip_boilerplate": """
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN
+                       'Subscribe to our newsletter!' || chr(10) || text
+                       || chr(10) || 'All rights reserved.'
+                     WHEN doc_id % 7 = 0 THEN
+                       text || chr(10) || 'All rights reserved.'
+                     ELSE text END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1,
+                       len(string_split(text, chr(10))) + 1)) AS pos
+              FROM src
+            ),
+            bp AS (
+              SELECT k FROM (
+                SELECT DISTINCT doc_id, trim(line) AS k FROM lines
+                WHERE trim(line) <> ''
+              ) GROUP BY k HAVING count(*) >= 100
+            ),
+            kept AS (
+              SELECT doc_id, pos, line FROM lines
+              WHERE trim(line) NOT IN (SELECT k FROM bp)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id::bigint AS doc_id, a.text_clean AS text_clean,
+                   coalesce(len(string_split(s.text, chr(10))), 0)::int
+                     AS n_lines,
+                   (coalesce(len(string_split(s.text, chr(10))), 0)
+                    - coalesce(a.n_kept, 0))::int AS n_removed
+            FROM src s LEFT JOIN agg a USING (doc_id)
+        """,
     }

@@ -65,6 +65,25 @@ def main():
                           arrow_batch_rows=4096)
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}
+    probe_walls: list[float] = []
+
+    def control_probe(warm=False):
+        # zero-engine-logic weather probe (r5 VERDICT #1): a fixed pure-CPU
+        # plan (range -> xxhash64 -> sum, no disk, no shuffle, no Python
+        # workers) interleaved at suite start/middle/end. Host contention
+        # moves this wall exactly like it moves every engine wall, so
+        # per-query walls NORMALIZED by the probe median are comparable
+        # across rounds even when the box weather is not (the r5 driver
+        # artifact recorded 138 s for a suite the same code ran in 99 s).
+        def job():
+            (spark.range(0, 64_000_000, 1, CPUS * 2)
+             .select(F.xxhash64("id").alias("h"))
+             .agg(F.sum("h")).collect())
+        if warm:
+            job()
+        t0 = time.perf_counter()
+        job()
+        probe_walls.append(round(time.perf_counter() - t0, 3))
 
     def timed(name, fn, rows=None, warm=True, best_of=1):
         if warm:
@@ -84,6 +103,7 @@ def main():
 
     img_path = ensure_images(spark, N_IMAGES)
     imgs = spark.read.parquet(img_path)
+    control_probe(warm=True)  # suite-start sample (post-JIT)
 
     from schisma_spark.image.fixtures import dim_fmt, images_schema_dsl
     from schisma_spark.image.decode import decode_validate
@@ -202,6 +222,8 @@ def main():
             rows=n_x4,
         )
 
+    control_probe()  # mid-suite sample (after the image/decode block)
+
     # text + repair ops at 2M-row scale (captions as the corpus)
     from schisma_spark import Field, schema as _schema
     from schisma_spark.functions import (
@@ -288,6 +310,7 @@ def main():
         "conform_variant_events", "dedup_clusters",
         "dedup_clusters_shortcut", "curation_keep_list",
         "embedding_curation", "signature_curation", "stratified_sample",
+        "decontaminate", "strip_boilerplate",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (
@@ -344,8 +367,18 @@ def main():
                          n_hashes=16, bands=4, hasher="native")).collect(),
     )
 
+    control_probe()  # suite-end sample
+
     total = round(sum(timings.values()), 3)
     ref = _reference_throughput()
+    from statistics import median as _median
+
+    probe_med = round(_median(probe_walls), 3)
+    # control-normalized walls (r5 VERDICT #1): each query wall as a
+    # MULTIPLE of the weather probe's median wall — dimensionless, so a
+    # contended-host round and a calm round are directly comparable
+    # (raw walls are not: the r5 artifact read as a false 1.9x regression)
+    normalized = {q: round(t / probe_med, 3) for q, t in timings.items()}
     out = {
         "metric": "validation_suite_wall_sec",
         "value": total,
@@ -355,6 +388,9 @@ def main():
         "throughput_rows_per_sec": rates,
         "image_rows": N_IMAGES,
         "cpus": CPUS,
+        "control_probe_walls": probe_walls,
+        "control_probe_median": probe_med,
+        "queries_normalized": normalized,
     }
     if ref:
         # the decision-relevant perf fact (r4 VERDICT #3): the reference
@@ -367,13 +403,25 @@ def main():
         if "image_validate" in rates and ref.get("image"):
             out["engine_vs_ref_image"] = round(
                 rates["image_validate"] / ref["image"], 2)
-    prev_name, prev_queries = _prev_round_queries()
+    prev_name, prev_queries, prev_norm = _prev_round_queries()
     if prev_queries:
         out["prev_round"] = prev_name
-        out["delta_vs_prev"] = {
-            q: round(t - prev_queries[q], 3)
-            for q, t in timings.items() if q in prev_queries
-        }
+        # delta on CONTROL-NORMALIZED walls when the previous round
+        # carries them (r5 VERDICT #1: deltas of raw walls conflate code
+        # with box weather); raw-wall fallback for pre-r6 artifacts,
+        # labeled so the judge knows which basis it read
+        if prev_norm:
+            out["delta_basis"] = "control_normalized"
+            out["delta_vs_prev"] = {
+                q: round(v - prev_norm[q], 3)
+                for q, v in normalized.items() if q in prev_norm
+            }
+        else:
+            out["delta_basis"] = "raw"
+            out["delta_vs_prev"] = {
+                q: round(t - prev_queries[q], 3)
+                for q, t in timings.items() if q in prev_queries
+            }
     print(json.dumps(out))
     # Compact twin as the LAST stdout line (r3 VERDICT #2): the full line
     # above outgrew the driver's tail-capture window in r3 ("parsed":
@@ -386,6 +434,7 @@ def main():
         "unit": "sec",
         "sf": SF_DIR,
         "cpus": CPUS,
+        "control_probe_median": probe_med,
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     for k in ("ref_rows_per_sec", "engine_vs_ref_lineitem",
@@ -446,9 +495,10 @@ def _reference_throughput():
 
 
 def _prev_round_queries():
-    """Newest BENCH_r*.json in the repo root -> (name, per-query seconds),
-    so each round's VERDICT can answer "which queries regressed"
-    mechanically (r1 VERDICT #8)."""
+    """Newest BENCH_r*.json in the repo root -> (name, per-query seconds,
+    per-query CONTROL-NORMALIZED walls or None), so each round's VERDICT
+    can answer "which queries regressed" mechanically (r1 VERDICT #8) on
+    a weather-robust basis (r5 VERDICT #1)."""
     import glob
     import re
 
@@ -459,14 +509,16 @@ def _prev_round_queries():
         if m and int(m.group(1)) > best_n:
             best, best_n = p, int(m.group(1))
     if not best:
-        return None, None
+        return None, None, None
     try:
         with open(best) as f:
             data = json.load(f)
-        queries = data.get("parsed", data).get("queries") or {}
-        return os.path.basename(best), queries
+        parsed = data.get("parsed", data) or {}
+        queries = parsed.get("queries") or {}
+        norm = parsed.get("queries_normalized") or None
+        return os.path.basename(best), queries, norm
     except Exception:
-        return None, None
+        return None, None, None
 
 
 if __name__ == "__main__":

@@ -52,8 +52,18 @@ def norm_text(c: Column) -> Column:
 
 
 def words(c: Column) -> Column:
+    """NULL text -> [] like blank text (r6): split(NULL) is NULL, and the
+    NULL word array used to flow through the shingle builder as a single
+    EMPTY-STRING shingle ([''] — greatest() skips the NULL size, so the
+    guard never fired). That phantom shingle gave every NULL-text doc an
+    identical non-empty shingle set: jac 1.0 pairs between all NULL docs
+    and a degenerate LSH bucket that ESCAPES the empty-shingle prune (the
+    array isn't empty) — the exact O(N_null^2) blowup the prune exists to
+    kill. [] makes NULL behave like blank text everywhere downstream
+    (sentinel minhash sig, pruned from banding, 0 shingles)."""
     t = F.trim(F.lower(c))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+    return F.when(t.isNull() | (t == ""),
+                  F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
 
@@ -207,6 +217,85 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("_id").alias("min_id"))
         .where(F.col("n_dups") >= 2)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    k: int = 3,
+    min_overlap: int = 1,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (r5 VERDICT #4): flag corpus documents
+    whose word k-gram shingles overlap an eval-set table — the standard
+    training-data decontamination pass that keeps benchmark answers out
+    of the training corpus. Returns one row per input document:
+    ``id_col, n_shingles, n_overlap, contaminated`` where ``n_overlap``
+    is the number of the document's DISTINCT shingles whose hash appears
+    anywhere in the eval set, and ``contaminated = n_overlap >=
+    min_overlap``. NULL/short texts have 0 shingles and are clean — the
+    every-row contract holds (no input row is ever dropped).
+
+    ``hasher='portable'`` (md5-prefix ``hash32``, DuckDB-oracle-able,
+    default) or ``'native'`` (xxhash64, 64-bit — the production path:
+    negligible collision rate against a 10^7-shingle eval set, where
+    32 bits gives ~2e-3 expected false shingle hits per million doc
+    shingles; decontamination is recall-oriented, so a rare false hit
+    only over-flags).
+
+    Scale shape (the 100-TB story): the corpus side explodes to
+    (id, shingle_hash) — O(rows x shingles) narrow longs, never text —
+    and equi-joins on the hash against the DISTINCT eval shingle set,
+    which is tiny by construction (eval benchmarks are ~10^3..10^6
+    docs vs a 10^12-doc corpus), so AQE broadcasts it and no shuffle of
+    the corpus side occurs beyond the final per-doc count aggregate
+    (map-side partials). No forced broadcast hint (CLAUDE.md: forced
+    hints die under session memory pressure where AQE's choice
+    succeeds); plan-guarded against cartesian in
+    tests/test_plan_guarantees.py."""
+    if eval_text_col is None:
+        eval_text_col = text_col
+    if hasher == "native":
+        def hash_fn(s: Column) -> Column:
+            return F.xxhash64(s)
+    else:
+        hash_fn = hash32
+
+    def shingle_hashes(c: Column) -> Column:
+        return F.coalesce(
+            F.transform(word_shingles(c, k), hash_fn),
+            F.array().cast("array<long>"),
+        )
+
+    corpus = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col)).alias("_shs")
+    )
+    ev = (
+        eval_df.select(
+            F.explode(shingle_hashes(F.col(eval_text_col))).alias("_h")
+        )
+        .distinct()
+    )
+    hits = (
+        corpus.select(F.col(id_col), F.explode("_shs").alias("_h"))
+        .join(ev, "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    return (
+        corpus.select(F.col(id_col), F.size("_shs").alias("n_shingles"))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            n_ov.alias("n_overlap"),
+            (n_ov >= min_overlap).alias("contaminated"),
+        )
     )
 
 

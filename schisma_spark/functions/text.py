@@ -107,3 +107,73 @@ def fingerprint(c: Column) -> Column:
     text — the exact-dedup / shard-assignment key."""
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return hash60(norm)
+
+
+def strip_boilerplate(df, text_col: str = "text", id_col: str = "doc_id",
+                      min_docs: int = 100):
+    """Boilerplate LINE removal (r5 VERDICT #6): drop every line whose
+    trimmed form appears in at least ``min_docs`` DISTINCT documents —
+    the classic web-corpus pass that strips nav bars, cookie banners and
+    copyright footers before training. Returns one row per input
+    document: ``id_col, text_clean, n_lines, n_removed`` with surviving
+    lines rejoined in original order. Blank lines are document
+    structure, never boilerplate (their trimmed form is excluded from
+    the frequency count and always kept). NULL text -> NULL
+    ``text_clean`` with ``n_lines = n_removed = 0``; a document whose
+    EVERY line is boilerplate also comes back NULL (nothing survives) —
+    both by the same left join, so the every-row contract holds.
+
+    ``min_docs`` is an ABSOLUTE distinct-document frequency: the caller
+    derives it from corpus size (e.g. 1e-4 of n_docs). A fraction-based
+    threshold would force an eager count at construction time (the r5
+    n_planes lesson).
+
+    Scale shape: one explode to (id, pos, line), a distinct + count
+    aggregate over (trimmed_line) -> the boilerplate set, which is small
+    by construction (only lines crossing the frequency floor), so AQE
+    broadcasts the anti-join; then one groupBy(id) reassembly. Line text
+    shuffles once for the distinct and once for the reassembly — both
+    unavoidable for a rewrite — and the heavy side never joins against
+    anything bigger than the boilerplate set."""
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    bp = (
+        lines.select(F.col(id_col), F.trim(F.col("_line")).alias("_k"))
+        .where(F.col("_k") != "")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_k")
+    )
+    kept = lines.join(
+        bp, F.trim(lines["_line"]) == bp["_k"], "left_anti"
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.coalesce(
+        F.size(F.split(F.col(text_col), "\n")), F.lit(0)
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("text_clean"),
+            n_lines.alias("n_lines"),
+            (n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int").alias("n_removed"),
+        )
+    )

@@ -837,3 +837,110 @@ def test_lsh_defaults_derive_from_corpus_size(spark):
         df, "vec_id", "embedding", dim=8, threshold=0.9,
         n_tables=2, n_rows=120).collect()}
     assert got_hint == got_default
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """r5 VERDICT #4: documents sharing word k-gram shingles with the
+    eval set are flagged; NULL/short texts have 0 shingles and stay
+    clean; every input row yields exactly one output row; the native
+    xxhash64 path agrees with the portable md5 path on the flags."""
+    from schisma_spark.functions.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "eval_id long, text string")
+    rows = [
+        (1, "see the quick brown fox jumps over everything"),  # overlap
+        (2, "completely unrelated text about spark engines here"),
+        (3, None),
+        (4, "a b"),                                   # < k words
+        (5, "the quick brown fox jumps over the lazy dog"),  # verbatim leak
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for hasher in ("portable", "native"):
+        out = {r["doc_id"]: r for r in decontaminate(
+            df, ev, "text", "doc_id", min_overlap=2,
+            hasher=hasher).collect()}
+        assert len(out) == 5                      # every-row contract
+        assert out[1]["contaminated"] is True
+        assert out[1]["n_overlap"] >= 2
+        assert out[2]["contaminated"] is False
+        assert out[2]["n_overlap"] == 0
+        assert out[3] ["n_shingles"] == 0 and out[3]["contaminated"] is False
+        assert out[4]["n_shingles"] == 0 and out[4]["contaminated"] is False
+        # verbatim leak: every shingle overlaps
+        assert out[5]["n_overlap"] == out[5]["n_shingles"] > 0
+        assert out[5]["contaminated"] is True
+
+    # min_overlap thresholding: at a floor above the verbatim doc's
+    # shingle count nothing is flagged
+    strict = {r["doc_id"]: r["contaminated"] for r in decontaminate(
+        df, ev, "text", "doc_id", min_overlap=1000).collect()}
+    assert not any(strict.values())
+
+
+def test_strip_boilerplate_lines(spark):
+    """r5 VERDICT #6: lines whose trimmed form appears in >= min_docs
+    distinct documents are removed; blank lines are kept (structure, not
+    boilerplate); line order is preserved; whitespace-padded copies of a
+    boilerplate line match via trim; repeated lines within ONE document
+    count once toward doc-frequency; all-boilerplate and NULL docs come
+    back NULL but keep their row."""
+    from schisma_spark.functions.text import strip_boilerplate
+
+    bp = "All rights reserved."
+    rows = [
+        (1, f"alpha body one\n{bp}\nmore alpha"),
+        (2, f"beta body two\n  {bp}  "),            # padded copy
+        (3, f"{bp}\n{bp}"),                          # all-boilerplate, x2
+        (4, "gamma only unique content\n\ntail after blank"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in strip_boilerplate(
+        df, "text", "doc_id", min_docs=3).collect()}
+    assert len(out) == 6
+    assert out[1]["text_clean"] == "alpha body one\nmore alpha"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "beta body two"
+    assert out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] is None             # nothing survives
+    assert out[3]["n_lines"] == 2 and out[3]["n_removed"] == 2
+    assert out[4]["text_clean"] == "gamma only unique content\n\ntail after blank"
+    assert out[4]["n_removed"] == 0                  # blank line kept
+    assert out[5]["text_clean"] is None and out[5]["n_lines"] == 0
+    assert out[5]["n_removed"] == 0
+    assert out[6]["text_clean"] == "" and out[6]["n_lines"] == 1
+
+    # below the floor nothing is boilerplate (doc 3's repeat counts once)
+    out2 = {r["doc_id"]: r for r in strip_boilerplate(
+        df, "text", "doc_id", min_docs=4).collect()}
+    assert out2[1]["n_removed"] == 0
+    assert out2[3]["text_clean"] == f"{bp}\n{bp}"
+
+
+def test_null_text_shingles_empty_no_phantom_pairs(spark):
+    """r6 regression: word_shingles(NULL) must be [] (it used to be ['']
+    — a phantom empty-string shingle shared by EVERY null-text doc, which
+    escaped the empty-shingle prune and would form one O(N_null^2) LSH
+    bucket at web scale). NULL docs must produce no minhash pairs."""
+    from schisma_spark.functions.dedup import (
+        minhash_near_dups, minhash_signature, word_shingles, MINHASH_P,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "real text here for company")],
+        "doc_id long, text string")
+    got = df.select(
+        "doc_id", F.size(word_shingles(F.col("text"), 3)).alias("n"),
+        minhash_signature(word_shingles(F.col("text"), 3), 4).alias("sig"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["n"] == 0 and by_id[2]["n"] == 0 and by_id[3]["n"] == 0
+    # empty shingle set -> all-sentinel signature, same as blank text
+    assert list(by_id[1]["sig"]) == [MINHASH_P] * 4
+    assert list(by_id[1]["sig"]) == list(by_id[3]["sig"])
+    # and no NULL-NULL phantom near-dup pair survives
+    assert minhash_near_dups(df, "text", "doc_id", threshold=0.5).count() == 0

@@ -187,3 +187,30 @@ def test_curation_plans_not_cartesian(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_decontaminate_and_boilerplate_plans_equi_join(spark):
+    """r6: decontaminate's eval-set membership and strip_boilerplate's
+    boilerplate-set anti-join must plan as equi-joins (hash/broadcast-
+    hash), never cartesian/nested-loop — the corpus side is 10^12 rows
+    at the design point, the set side is small by construction."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.dedup import decontaminate
+    from schisma_spark.functions.text import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the quick brown fox number {i} jumps over "
+                            f"the lazy dog\nAll rights reserved.")
+         for i in range(30)]
+    )
+    ev = spark.createDataFrame(
+        [Row(text="the quick brown fox number 3 jumps over the lazy dog")]
+    )
+    for name, out in {
+        "decontaminate": decontaminate(docs, ev, "text", "doc_id"),
+        "boilerplate": strip_boilerplate(docs, "text", "doc_id",
+                                         min_docs=10),
+    }.items():
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
