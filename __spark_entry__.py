@@ -228,6 +228,24 @@ def q_minhash_sigs(spark, sf):
     )
 
 
+def q_minhash_sigs_agg(spark, sf):
+    """r6: the codegen'd explode+aggregate signature-table path
+    (minhash_signatures_df) — values are bit-identical to the projection
+    (q_minhash_sigs proves the family against DuckDB; this query proves
+    the AGGREGATE materialization of the same family independently).
+    Same doc subset, same 8-hash portable family, same output shape."""
+    from schisma_spark.functions.dedup import minhash_signatures_df
+
+    d = fan_out(_t(spark, sf, "documents").where(F.col("doc_id") % 25 == 0))
+    sigs = minhash_signatures_df(d, "text", "doc_id", shingle_k=3,
+                                 n_hashes=8, hasher="portable")
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(",", *[F.element_at(F.col("sig"), i + 1).cast("string")
+                           for i in range(8)]).alias("sig"),
+    )
+
+
 def q_jaccard_pairs(spark, sf):
     d = fan_out(_t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0))
     s = d.select("doc_id", "lang", word_shingles(F.col("text"), 3).alias("sh"))
@@ -773,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_prefix": q_dedup_prefix,
         "minhash_sigs": q_minhash_sigs,
+        "minhash_sigs_agg": q_minhash_sigs_agg,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1293,6 +1312,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) >= 2
         """,
         "minhash_sigs": minhash_core.format(sig=sig_expr),
+        # same twin VERBATIM for the aggregate materialization (r6):
+        # minhash_signatures_df is bit-identical to the projection family
+        "minhash_sigs_agg": minhash_core.format(sig=sig_expr),
         "jaccard_pairs": f"""
             WITH s AS (
               SELECT doc_id, lang, {_SHINGLES3} AS sh

@@ -282,6 +282,23 @@ def main():
         .agg(F.count(F.lit(1)), F.min(F.element_at(F.col("s"), 1))).collect(),
         rows=N_IMAGES,
     )
+    # codegen'd signature-TABLE path (r6, closes r5 VERDICT #3): explode +
+    # 16 min-aggregates — the only minhash shape that runs in whole-stage
+    # codegen (every projection shape is interpreted; bind() is a HOF).
+    # Same-session A/B: 0.75x the projection wall; costs one extra
+    # exchange, so it's the materialization path, not the banding feed —
+    # see minhash_signatures_df docstring for the shuffle trade
+    from schisma_spark.functions.dedup import minhash_signatures_df
+
+    timed(
+        "caption_minhash_sigs_agg",
+        lambda: minhash_signatures_df(caps, "caption", "image_id",
+                                      shingle_k=2, n_hashes=16,
+                                      hasher="native")
+        .agg(F.count(F.lit(1)),
+             F.min(F.element_at(F.col("sig"), 1))).collect(),
+        rows=N_IMAGES,
+    )
     conform_schema = _schema({
         "w": Field(type=float, default=0.0),
         "h": Field(type=float, default=0.0),

@@ -372,6 +372,23 @@ is stable at ~1.0 across every box state — the engine adds no scaling
 bottleneck — while decode's normalized efficiency tracks box weather
 (0.948 -> 0.656 -> 0.792) with the decode code unchanged.
 
+**Native-minhash r3 reconciliation (r6, closes r5 VERDICT #3).** The
+"pre-unification r3 body" and the current `minhash_signature` native body
+are BYTE-IDENTICAL (commit 53285c5 restored the per-(j,shingle) shape;
+`git show 9f5cb12^:schisma_spark/functions/dedup.py` matches the current
+native branch), so the requested A/B compares identical code with itself —
+there is no code delta to reconcile, and the r3 1.75 s is pinned as
+box weather. Interleaved same-session evidence at 2M captions, local[32]:
+the identical body measured 2.93/3.25/3.37/2.93 s across 4 alternating
+passes (the swing band alone exceeds the r3-vs-r5 delta); a
+hash-once+integer-mix projection variant measured 1.13x SLOWER (long-mod
+mixes cost more than repeated xxhash64); the one genuinely faster shape is
+the codegen'd explode+min-aggregate signature table
+(`minhash_signatures_df`, 0.75x = 1.99 vs 2.66 s median, bench row
+`caption_minhash_sigs_agg`) — it pays one extra full-corpus exchange, so
+it is the signature-TABLE materialization path while banding keeps the
+shuffle-free projection.
+
 **Host-contention caveat (r5).** This VM's walls can swing far beyond the
 ±25% thermal band when the underlying HOST is contended (observed r5: an
 identical bench invocation measured 145 s, then 93 s, then 108 s suite

@@ -944,3 +944,37 @@ def test_null_text_shingles_empty_no_phantom_pairs(spark):
     assert list(by_id[1]["sig"]) == list(by_id[3]["sig"])
     # and no NULL-NULL phantom near-dup pair survives
     assert minhash_near_dups(df, "text", "doc_id", threshold=0.5).count() == 0
+
+
+def test_minhash_signatures_df_matches_projection(spark):
+    """r6 (r5 VERDICT #3): the codegen'd explode+aggregate signature
+    table must be BIT-IDENTICAL to the projection-shaped
+    minhash_signature for both hashers, including empty/NULL/short docs
+    restored by keep_empty with the all-sentinel signature."""
+    from schisma_spark.functions.dedup import (
+        minhash_signature, minhash_signatures_df, word_shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different words appear in this one text"),
+        (4, None),
+        (5, ""),
+        (6, "two words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hasher in ("portable", "native"):
+        proj = {r["doc_id"]: list(r["s"]) for r in df.select(
+            "doc_id",
+            minhash_signature(word_shingles(F.col("text"), 3), 8,
+                              hasher=hasher).alias("s")).collect()}
+        agg = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures_df(
+            df, "text", "doc_id", shingle_k=3, n_hashes=8,
+            hasher=hasher).collect()}
+        assert agg == proj, hasher
+        # keep_empty=False drops exactly the empty-shingle docs
+        agg_ne = {r["doc_id"] for r in minhash_signatures_df(
+            df, "text", "doc_id", shingle_k=3, n_hashes=8, hasher=hasher,
+            keep_empty=False).collect()}
+        assert agg_ne == {1, 2, 3}
