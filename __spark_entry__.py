@@ -775,6 +775,56 @@ def q_strip_boilerplate(spark, sf):
                       "text_clean", "n_lines", "n_removed")
 
 
+def q_pii_redaction(spark, sf):
+    """PII scrub pass (r6): emails / IPv4 / phone-shaped numbers replaced
+    with typed tokens, plus per-kind match counts over the original text.
+    PII is PLANTED on doc%13 (the corpus vocabulary is synthetic word
+    soup with no organic PII) so every pattern and the replacement order
+    (email -> ip -> phone, so the phone pattern can't eat an address's
+    digits) is exercised. Oracle applies the IDENTICAL patterns from
+    PII_PATTERNS through DuckDB's RE2."""
+    from schisma_spark.functions.text import pii_count, redact_pii
+
+    did = F.col("doc_id")
+    plant = (" contact john.doe@example.com or 10.0.42.7 or +14155551234 "
+             "or 415-555-1234")
+    d = fan_out(_t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(did % 13 == 0, F.concat(F.col("text"), F.lit(plant)))
+        .otherwise(F.col("text")).alias("text")))
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        redact_pii(t).alias("redacted"),
+        pii_count(t, "email").cast("int").alias("n_email"),
+        pii_count(t, "ip").cast("int").alias("n_ip"),
+        pii_count(t, "phone").cast("int").alias("n_phone"),
+    )
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition signals (r6): duplicate-word and
+    duplicate-line fractions per document, with repetition PLANTED
+    (doc%5 doubled line-wise -> dup_line_frac 0.5, doc%9 doubled
+    word-wise -> dup_word_frac ~0.5) since the synthetic corpus is
+    near-repetition-free. One let-bound JVM projection, no shuffle."""
+    from schisma_spark.functions.text import dup_line_frac, dup_word_frac
+
+    did = F.col("doc_id")
+    d = fan_out(_t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(did % 5 == 0,
+               F.concat(F.col("text"), F.lit("\n"), F.col("text")))
+        .when(did % 9 == 0,
+              F.concat(F.col("text"), F.lit(" "), F.col("text")))
+        .otherwise(F.col("text")).alias("text")))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(dup_word_frac(F.col("text")), 6).alias("dup_word_frac"),
+        F.round(dup_line_frac(F.col("text")), 6).alias("dup_line_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lineitem": q_stats_lineitem,
@@ -822,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "strip_boilerplate": q_strip_boilerplate,
+        "pii_redaction": q_pii_redaction,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -839,6 +891,35 @@ _WORDS = ("(CASE WHEN trim(text) = '' THEN []::varchar[] "
 _H32 = "('0x'||substr(md5({x}),1,8))::int64"
 _FP = ("('0x'||substr(md5(regexp_replace(lower(trim({x})),'\\s+',' ','g'))"
        ",1,15))::int64")
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of q_pii_redaction, built from the SAME PII_PATTERNS
+    the engine applies (one source of truth for the regexes)."""
+    from schisma_spark.functions.text import PII_PATTERNS
+
+    plant = (" contact john.doe@example.com or 10.0.42.7 or +14155551234 "
+             "or 415-555-1234")
+    red = "text"
+    for kind in ("email", "ip", "phone"):
+        pat, token = PII_PATTERNS[kind]
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    counts = ",\n              ".join(
+        f"len(regexp_extract_all(text, '{PII_PATTERNS[k][0]}'))::int"
+        f" AS n_{k}" for k in ("email", "ip", "phone")
+    )
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0 THEN text || '{plant}'
+                 ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id::bigint AS doc_id,
+               {red} AS redacted,
+              {counts}
+        FROM src
+    """
 
 
 def _lang_sql(col: str) -> str:
@@ -1751,6 +1832,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_overlap, 0)::bigint AS n_overlap,
                    coalesce(h.n_overlap, 0) >= 2 AS contaminated
             FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        # pii_redaction twin (r6): IDENTICAL patterns straight from
+        # PII_PATTERNS (RE2 ∩ java.util.regex common subset), same
+        # replacement order, counts over the original planted text
+        "pii_redaction": _pii_sql(),
+        # repetition_stats twin (r6): same word split / trimmed-nonblank
+        # line split, same planted doublings, same rounded fractions
+        "repetition_stats": f"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+                     WHEN doc_id % 9 = 0 THEN text || ' ' || text
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id::bigint AS doc_id,
+              round(CASE WHEN len(w) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(w))::double / len(w)
+                    END, 6) AS dup_word_frac,
+              round(CASE WHEN len(ls) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(ls))::double / len(ls)
+                    END, 6) AS dup_line_frac
+            FROM (
+              SELECT doc_id, {_WORDS} AS w,
+                     list_filter(list_transform(
+                       string_split(text, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS ls
+              FROM src
+            )
         """,
         # strip_boilerplate twin (r6): same planted lines, line explode
         # with positions (parallel unnest zips), distinct-doc frequency

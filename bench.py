@@ -76,8 +76,12 @@ def main():
         # across rounds even when the box weather is not (the r5 driver
         # artifact recorded 138 s for a suite the same code ran in 99 s).
         def job():
-            (spark.range(0, 64_000_000, 1, CPUS * 2)
-             .select(F.xxhash64("id").alias("h"))
+            # ~1 s of work at calm local[32]: a 0.2 s probe's scheduler
+            # jitter (measured 0.20-0.42 s spread) would multiply into
+            # every normalized wall. shiftright keeps the ANSI sum far
+            # from int64 overflow.
+            (spark.range(0, 320_000_000, 1, CPUS * 2)
+             .select(F.shiftright(F.xxhash64("id"), 24).alias("h"))
              .agg(F.sum("h")).collect())
         if warm:
             job()
@@ -328,6 +332,7 @@ def main():
         "dedup_clusters_shortcut", "curation_keep_list",
         "embedding_curation", "signature_curation", "stratified_sample",
         "decontaminate", "strip_boilerplate",
+        "pii_redaction", "repetition_stats",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

@@ -978,3 +978,63 @@ def test_minhash_signatures_df_matches_projection(spark):
             df, "text", "doc_id", shingle_k=3, n_hashes=8, hasher=hasher,
             keep_empty=False).collect()}
         assert agg_ne == {1, 2, 3}
+
+
+def test_redact_pii_and_counts(spark):
+    """r6: emails/IPv4/phone-shapes replaced with typed tokens in
+    declaration order (ip before phone so the phone pattern never eats
+    an address's digits); counts run over the original text; NULL text
+    stays NULL; clean text passes through unchanged."""
+    from schisma_spark.functions.text import pii_count, redact_pii
+
+    rows = [
+        (1, "mail me at a.b-c_d@ex-ample.co.uk now"),
+        (2, "server 192.168.0.1 and backup 10.0.0.254"),
+        (3, "call +14155551234 or 415-555-1234 today"),
+        (4, "no pii in this perfectly clean sentence"),
+        (5, None),
+        (6, "mix: x@y.io at 8.8.8.8 tel 212-555-0100"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", redact_pii(t).alias("red"),
+        pii_count(t, "email").alias("ne"),
+        pii_count(t, "ip").alias("ni"),
+        pii_count(t, "phone").alias("np")).collect()}
+    assert got[1]["red"] == "mail me at <EMAIL> now"
+    assert (got[1]["ne"], got[1]["ni"], got[1]["np"]) == (1, 0, 0)
+    assert got[2]["red"] == "server <IP> and backup <IP>"
+    assert got[2]["ni"] == 2
+    assert got[3]["red"] == "call <PHONE> or <PHONE> today"
+    assert got[3]["np"] == 2
+    assert got[4]["red"] == rows[3][1]
+    assert got[5]["red"] is None
+    assert got[6]["red"] == "mix: <EMAIL> at <IP> tel <PHONE>"
+
+
+def test_repetition_fractions(spark):
+    """r6: Gopher-style duplicate-word / duplicate-line fractions — a
+    doubled doc scores 0.5 on the doubled axis; unique text scores 0;
+    NULL/blank score 0; blank lines are excluded from the line stat."""
+    from schisma_spark.functions.text import dup_line_frac, dup_word_frac
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta alpha beta"),                 # dup words 0.5
+        (3, "line one\nline two\nline one"),          # dup lines 1/3
+        (4, "x\n\n  \nx"),                            # blanks excluded -> 0.5
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        F.round(dup_word_frac(F.col("text")), 6).alias("w"),
+        F.round(dup_line_frac(F.col("text")), 6).alias("l")).collect()}
+    assert got[1]["w"] == 0.0 and got[1]["l"] == 0.0
+    assert got[2]["w"] == 0.5
+    assert abs(got[3]["l"] - 1 / 3) < 1e-6
+    assert got[4]["l"] == 0.5
+    assert got[5]["w"] == 0.0 and got[5]["l"] == 0.0
+    assert got[6]["w"] == 0.0 and got[6]["l"] == 0.0
