@@ -187,18 +187,23 @@ def curation_keep_list(
     min_tokens: int = 5,
     pairs: DataFrame | None = None,
     cc_shortcut: bool = False,
+    eval_df: DataFrame | None = None,
+    decontam_min_overlap: int = 1,
     **near_dup_kw,
 ) -> DataFrame:
     """``id_col, keep, reason`` for every document.
 
     Precedence: ``low_quality`` (quality_score < min_quality or fewer
-    than min_tokens whitespace tokens) -> ``exact_dup`` (not the min id
-    of its normalized-text fingerprint group) -> ``near_dup`` (in a
-    near-dup cluster whose canonical — the min id among members passing
-    the earlier gates — is someone else) -> ``ok``. ``pairs`` overrides
-    the near-dup pair source (default: ``minhash_near_dups`` with
-    ``near_dup_kw``); exactly one representative of every cluster with a
-    surviving member is kept.
+    than min_tokens whitespace tokens) -> ``contaminated`` (r6, only
+    when ``eval_df`` is given: >= decontam_min_overlap word-shingle
+    hashes shared with the eval set — benchmark answers must not reach
+    the training set regardless of dedup status) -> ``exact_dup`` (not
+    the min id of its normalized-text fingerprint group) -> ``near_dup``
+    (in a near-dup cluster whose canonical — the min id among members
+    passing the earlier gates, contamination included — is someone
+    else) -> ``ok``. ``pairs`` overrides the near-dup pair source
+    (default: ``minhash_near_dups`` with ``near_dup_kw``); exactly one
+    representative of every cluster with a surviving member is kept.
 
     NULL-text documents (r4 ADVICE): ``fingerprint(NULL)`` is NULL, so a
     naive inner join on the fingerprint would silently DROP the row and
@@ -229,14 +234,25 @@ def curation_keep_list(
     cc = (connected_components(pairs, shortcut=cc_shortcut)
           .withColumnRenamed("node", id_col)
           .withColumnRenamed("component", "_cluster"))
-    wc = (
-        base.join(min_ids, "_fp")
-        .join(cc, id_col, "left")
-        .withColumn("_pre_ok",
-                    (~F.col("_nulltext"))
-                    & (F.col("_q") >= min_quality)
-                    & (F.col("_tok") >= min_tokens)
-                    & (F.col(id_col) == F.col("_fp_min")))
+    wc = base.join(min_ids, "_fp").join(cc, id_col, "left")
+    if eval_df is not None:
+        from schisma_spark.functions.dedup import decontaminate
+
+        cont = decontaminate(
+            df, eval_df, text_col, id_col,
+            min_overlap=decontam_min_overlap,
+            hasher=near_dup_kw.get("hasher", "portable"),
+        ).select(F.col(id_col), F.col("contaminated").alias("_cont"))
+        wc = wc.join(cont, id_col, "left")
+    else:
+        wc = wc.withColumn("_cont", F.lit(False))
+    wc = wc.withColumn(
+        "_pre_ok",
+        (~F.col("_nulltext"))
+        & (F.col("_q") >= min_quality)
+        & (F.col("_tok") >= min_tokens)
+        & ~F.coalesce(F.col("_cont"), F.lit(False))
+        & (F.col(id_col) == F.col("_fp_min")),
     )
     canon = (wc.where(F.col("_pre_ok") & F.col("_cluster").isNotNull())
              .groupBy("_cluster").agg(F.min(id_col).alias("_canon")))
@@ -244,6 +260,7 @@ def curation_keep_list(
         F.when(F.col("_nulltext")
                | (F.col("_q") < min_quality) | (F.col("_tok") < min_tokens),
                "low_quality")
+        .when(F.coalesce(F.col("_cont"), F.lit(False)), "contaminated")
         .when(F.col(id_col) != F.col("_fp_min"), "exact_dup")
         .when(F.col("_cluster").isNotNull()
               & (F.col(id_col) != F.col("_canon")), "near_dup")

@@ -585,6 +585,44 @@ def test_curation_null_text_gets_decision(spark):
     assert got[2] == (True, "ok")
 
 
+def test_curation_decontamination_gate(spark):
+    """r6: with eval_df given, contaminated docs are dropped with reason
+    'contaminated' (after low_quality, before exact_dup) and are NOT
+    eligible as cluster canonicals — the next clean member is promoted."""
+    from schisma_spark.functions.curate import curation_keep_list
+
+    leak = ("the capital of france is paris and the answer to the "
+            "benchmark question is forty two exactly as the key says")
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "other animals watch from the shade of an old oak tree")
+    rows = [
+        Row(doc_id=1, text=leak),   # contaminated, min id of cluster {1,2}
+        Row(doc_id=2, text=good),   # clean near-dup partner -> promoted
+        Row(doc_id=3, text="the weather today is quite pleasant and the "
+                           "birds are singing in the garden outside"),
+        Row(doc_id=4, text=leak + " padded with extra trailing words "
+                           "so the fingerprint differs from document one"),
+        Row(doc_id=5, text=good),   # exact dup of 2: min id of {2,5} is 2
+    ]
+    df = spark.createDataFrame(rows)
+    eval_df = spark.createDataFrame([Row(text=leak)])
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curation_keep_list(
+               df, pairs=pairs, eval_df=eval_df).collect()}
+    assert len(got) == 5
+    assert got[1] == (False, "contaminated")
+    assert got[2] == (True, "ok")          # promoted past contaminated 1
+    assert got[3] == (True, "ok")
+    assert got[4] == (False, "contaminated")   # partial overlap still >= 1
+    assert got[5] == (False, "exact_dup")
+
+    # without eval_df the same corpus keeps the leak docs (control)
+    ctl = {r["doc_id"]: r["reason"]
+           for r in curation_keep_list(df, pairs=pairs).collect()}
+    assert ctl[1] == "ok" and ctl[4] == "ok"
+
+
 def test_lsh_bucket_stats_and_plane_suggestion(spark):
     """r3 VERDICT #5: the occupancy report must account for every row in
     every table and expose the skew signal that drives n_planes; the

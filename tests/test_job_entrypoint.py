@@ -179,3 +179,52 @@ def test_violation_history_job_colocated_no_exchange(spark, tmp_path, capsys):
     assert row["last_run"] == "r2"
     spark.sql("DROP TABLE IF EXISTS t_viol_hist")
     spark.sql("DROP TABLE IF EXISTS t_viol_cur")
+
+
+def test_decontaminate_job_end_to_end(spark, tmp_path, capsys):
+    """r6: the decontamination spark-submit entry — one decision row per
+    corpus document, run-level manifest with flagged/clean metrics,
+    idempotent re-run by run id."""
+    from pyspark.sql import Row
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import decontaminate_job
+
+    leak = ("the capital of france is paris and the capital of spain "
+            "is madrid according to the benchmark answer key")
+    rows = []
+    for i in range(40):
+        if i % 10 == 0:
+            txt = leak                                  # verbatim leak
+        else:
+            txt = f"organic training document number {i} about spark " \
+                  f"engines and distributed aggregation pipelines"
+        rows.append(Row(doc_id=i, text=txt))
+    inp = str(tmp_path / "corpus")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(inp)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame([Row(text=leak)]).write.mode(
+        "overwrite").parquet(ev)
+
+    argv = [
+        "--input", inp,
+        "--eval", ev,
+        "--decisions", str(tmp_path / "dec"),
+        "--manifest", str(tmp_path / "man"),
+        "--min-overlap", "2",
+    ]
+    decontaminate_job.main(argv)
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_decided"] == 40
+    assert res["flagged"] == 4                    # the %10 leaks, no more
+
+    dec = spark.read.parquet(str(tmp_path / "dec"))
+    assert dec.count() == 40
+    flagged = {r["doc_id"] for r in dec.where("contaminated").collect()}
+    assert flagged == {0, 10, 20, 30}
+
+    # idempotent re-run: skipped, sink not double-appended
+    decontaminate_job.main(argv)
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2.get("skipped") is True
+    assert spark.read.parquet(str(tmp_path / "dec")).count() == 40
