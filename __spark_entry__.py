@@ -825,6 +825,41 @@ def q_repetition_stats(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing, chunk strategy (r6): shard documents by the
+    portable id hash, lay each shard's token stream end-to-end in id
+    order, cut every 512 tokens; each doc reports its starting window,
+    offset inside it, and the window holding its last token (long docs
+    span). Window arithmetic only — the oracle replays the identical
+    prefix-sum in DuckDB."""
+    from schisma_spark.functions.pack import pack_sequences
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    return pack_sequences(d, budget=512, n_shards=8)
+
+
+def q_packing_stats(spark, sf):
+    """Fill-rate report over the chunk packing (r6): window count, token
+    total, and the padding-free fraction of the resulting training
+    batch — the number a mix planner actually consumes."""
+    from schisma_spark.functions.pack import pack_sequences, packing_stats
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    return packing_stats(pack_sequences(d, budget=512, n_shards=8), 512)
+
+
+def q_pack_greedy(spark, sf):
+    """Greedy next-fit packing (r6): sequential recurrence per shard via
+    applyInPandas — not SQL-expressible, so this entry takes the driver's
+    rows-only check; the invariants (offset+tokens <= budget unless a doc
+    alone overflows, windows dense per shard) are pytest-verified against
+    a pure-Python reference."""
+    from schisma_spark.functions.pack import pack_sequences
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    return pack_sequences(d, budget=512, n_shards=8, strategy="greedy")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lineitem": q_stats_lineitem,
@@ -874,6 +909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
+        "packing_stats": q_packing_stats,
+        "pack_greedy": q_pack_greedy,
     }
 
 
@@ -1905,5 +1943,64 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(len(string_split(s.text, chr(10))), 0)
                     - coalesce(a.n_kept, 0))::int AS n_removed
             FROM src s LEFT JOIN agg a USING (doc_id)
+        """,
+        # pack_sequences twin (r6): identical portable shard hash,
+        # per-shard exclusive prefix sum over id order, integer cuts
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END
+                )::bigint AS tokens,
+                (('0x' || substr(md5(doc_id::varchar), 1, 8))::int64 % 8)
+                  AS shard
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, tokens, shard,
+                (sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - tokens)::bigint AS s
+              FROM t
+            )
+            SELECT doc_id, tokens, shard,
+              (s // 512)::bigint AS seq_id,
+              (s % 512)::bigint AS offset,
+              ((s + greatest(tokens, 1) - 1) // 512)::bigint AS end_seq
+            FROM w
+        """,
+        # packing_stats twin (r6): per-shard window counts off the same
+        # chunk assignment, then one global roll-up
+        "packing_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END
+                )::bigint AS tokens,
+                (('0x' || substr(md5(doc_id::varchar), 1, 8))::int64 % 8)
+                  AS shard
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, tokens, shard,
+                (sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - tokens)::bigint AS s
+              FROM t
+            ),
+            p AS (
+              SELECT shard, tokens,
+                ((s + greatest(tokens, 1) - 1) // 512)::bigint AS end_seq
+              FROM w
+            ),
+            per AS (
+              SELECT shard, count(*) AS docs, max(end_seq) + 1 AS seqs,
+                     sum(tokens) AS toks
+              FROM p GROUP BY shard
+            )
+            SELECT sum(docs)::bigint AS n_docs,
+                   sum(seqs)::bigint AS n_seqs,
+                   sum(toks)::bigint AS total_tokens,
+                   round(sum(toks)::double / (sum(seqs) * 512), 6)
+                     AS fill_rate
+            FROM per
         """,
     }

@@ -333,6 +333,7 @@ def main():
         "embedding_curation", "signature_curation", "stratified_sample",
         "decontaminate", "strip_boilerplate",
         "pii_redaction", "repetition_stats",
+        "pack_sequences", "pack_greedy",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

@@ -1076,3 +1076,84 @@ def test_repetition_fractions(spark):
     assert got[4]["l"] == 0.5
     assert got[5]["w"] == 0.0 and got[5]["l"] == 0.0
     assert got[6]["w"] == 0.0 and got[6]["l"] == 0.0
+
+
+def test_pack_chunk_known_layout(spark):
+    """r6 sequence packing, chunk strategy: exact concatenate-then-cut
+    assignment on a hand-computed token stream (one shard so the layout
+    is fully determined)."""
+    from schisma_spark.functions.pack import pack_sequences
+
+    rows = [(i + 1, t) for i, t in enumerate([4, 4, 4, 12, 0, 3])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens_in long")
+    got = {r["doc_id"]: r for r in pack_sequences(
+        df, token_col="tokens_in", budget=10, n_shards=1).collect()}
+    # starts: 0,4,8,12,24,24
+    expect = {   # (seq_id, offset, end_seq)
+        1: (0, 0, 0), 2: (0, 4, 0), 3: (0, 8, 1),   # doc 3 spans the cut
+        4: (1, 2, 2),                               # longer than budget
+        5: (2, 4, 2),                               # zero-width still placed
+        6: (2, 4, 2),
+    }
+    assert {k: (v["seq_id"], v["offset"], v["end_seq"])
+            for k, v in got.items()} == expect
+    assert all(got[k]["shard"] == got[1]["shard"] for k in got)
+
+
+def test_pack_greedy_matches_python_reference(spark):
+    """r6 greedy next-fit packing equals a pure-Python per-shard replay;
+    invariants: every input row decided, offset+tokens <= budget unless
+    the doc alone overflows, windows dense from 0 per shard."""
+    import random
+
+    from schisma_spark.functions.pack import pack_sequences
+    from schisma_spark.functions.portable import hash32
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice([0, 1, 3, 7, 20, 64, 130]))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens_in long")
+    budget, n_shards = 100, 4
+    out = pack_sequences(df, token_col="tokens_in", budget=budget,
+                         n_shards=n_shards, strategy="greedy")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 200
+
+    shard_of = {r["doc_id"]: r["shard"] for r in df.select(
+        "doc_id", (hash32(F.col("doc_id").cast("string")) % n_shards)
+        .alias("shard")).collect()}
+    by_shard = {}
+    for i, tok in rows:
+        by_shard.setdefault(shard_of[i], []).append((i, tok))
+    for shard, docs in by_shard.items():
+        seq, fill = 0, 0
+        for i, tok in sorted(docs):
+            if fill > 0 and fill + tok > budget:
+                seq, fill = seq + 1, 0
+            r = got[i]
+            assert (r["shard"], r["seq_id"], r["offset"], r["end_seq"]) \
+                == (shard, seq, fill, seq), i
+            fill += tok
+    for r in got.values():
+        assert r["offset"] + r["tokens"] <= budget or r["offset"] == 0
+
+
+def test_pack_null_text_and_stats(spark):
+    """NULL/blank text packs as 0 tokens (every-row contract) and
+    packing_stats reports the window count and fill rate of the batch."""
+    from schisma_spark.functions.pack import pack_sequences, packing_stats
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "   "),
+         (4, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    p = pack_sequences(df, budget=5, n_shards=1)
+    got = {r["doc_id"]: r for r in p.collect()}
+    assert len(got) == 4
+    assert got[2]["tokens"] == 0 and got[3]["tokens"] == 0
+    s = packing_stats(p, 5).collect()[0]
+    total = 3 + 0 + 0 + 8
+    assert s["n_docs"] == 4 and s["total_tokens"] == total
+    # one shard: windows = max(end_seq)+1 over the 11-token stream
+    assert s["n_seqs"] == max(r["end_seq"] for r in got.values()) + 1
+    assert abs(s["fill_rate"] - total / (s["n_seqs"] * 5)) < 1e-6
