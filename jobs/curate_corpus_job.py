@@ -9,7 +9,9 @@ The cluster invocation mode (BASELINE.json:14), curation flavor::
         [--id-col doc_id] [--text-col text] \
         [--min-quality 0.5] [--min-tokens 5] [--threshold 0.7] \
         [--hasher native] [--cc-shortcut] [--max-bucket-size N] \
-        [--strata lang --n-per-stratum 100000 --sample <sink>]
+        [--eval <benchmark-table-ref>] \
+        [--strata lang --n-per-stratum 100000 --sample <sink>] \
+        [--pack-budget 2048 --packed <sink>]
 
 One keep/drop decision row per input document (quality gate -> exact
 dedup -> near-dup cluster canonical; functions/curate.py), written to the
@@ -19,8 +21,13 @@ rule). Curation is corpus-global — near-dup pairs cross any partitioning
 per-reason counts as metrics, not per-partition rows; re-running with the
 same run id is skipped.
 
-Optionally down-samples the kept set per stratum (two-stage skew-safe
-rank) into a separate sink — the over-represented-source cap.
+Optionally: gates decisions on benchmark DECONTAMINATION (``--eval`` — a
+contaminated doc drops with its own reason and is never promoted to
+cluster canonical), down-samples the kept set per stratum (two-stage
+skew-safe rank) into a separate sink — the over-represented-source cap —
+and PACKS the kept set into fixed-token-budget context windows
+(``--pack-budget``/``--packed``; chunk strategy), recording the window
+count and fill rate in the manifest metrics.
 """
 
 from __future__ import annotations
@@ -54,12 +61,21 @@ def main(argv=None):
     ap.add_argument("--cc-shortcut", action="store_true",
                     help="pointer-jump cluster rounds (O(log diameter)); "
                          "use when the corpus can chain transitively")
+    ap.add_argument("--eval", default=None, dest="eval_ref",
+                    help="benchmark table for the decontamination gate")
+    ap.add_argument("--decontam-min-overlap", type=int, default=1)
     ap.add_argument("--strata", default=None,
                     help="comma-separated stratum columns for the "
                          "kept-set down-sample")
     ap.add_argument("--n-per-stratum", type=int, default=None)
     ap.add_argument("--sample", default=None,
                     help="sink for the down-sampled keep set")
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="token budget per context window for the "
+                         "kept-set packing stage")
+    ap.add_argument("--pack-shards", type=int, default=32)
+    ap.add_argument("--packed", default=None,
+                    help="sink for the kept-set window assignments")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -81,11 +97,15 @@ def main(argv=None):
 
     df = fan_out(read_table(spark, args.input)
                  .select(args.id_col, args.text_col))
+    eval_df = (read_table(spark, args.eval_ref)
+               if args.eval_ref else None)
     t0 = time.perf_counter()
     decisions = curation_keep_list(
         df, args.id_col, args.text_col,
         min_quality=args.min_quality, min_tokens=args.min_tokens,
         cc_shortcut=args.cc_shortcut,
+        eval_df=eval_df,
+        decontam_min_overlap=args.decontam_min_overlap,
         threshold=args.threshold, n_hashes=args.n_hashes,
         bands=args.bands, hasher=args.hasher,
         max_bucket_size=args.max_bucket_size,
@@ -119,14 +139,37 @@ def main(argv=None):
         write_table(sample, args.sample, mode="append")
         print(json.dumps({"sample_rows": sample.count()}), file=sys.stderr)
 
+    pack_metrics = {}
+    if args.pack_budget and args.packed:
+        from schisma_spark.functions.pack import (
+            pack_sequences, packing_stats,
+        )
+
+        kept_ids = decisions.where(F.col("keep")).select(args.id_col)
+        kept = (read_table(spark, args.input)
+                .select(args.id_col, args.text_col)
+                .join(kept_ids, args.id_col, "leftsemi"))
+        packed = pack_sequences(
+            kept, args.text_col, args.id_col, budget=args.pack_budget,
+            n_shards=args.pack_shards).persist()
+        write_table(packed, args.packed, mode="append")
+        ps = packing_stats(packed, args.pack_budget).collect()[0]
+        pack_metrics = {"pack_budget": args.pack_budget,
+                        "packed_docs": int(ps["n_docs"]),
+                        "n_seqs": int(ps["n_seqs"]),
+                        "fill_rate": float(ps["fill_rate"])}
+        packed.unpersist()
+
     decisions.unpersist()
     man.append([{
         "partition": run_id,
         "status": "done",
         "lineage": {"input": args.input, "job": "curate_corpus_job",
-                    "hasher": args.hasher, "threshold": args.threshold},
+                    "hasher": args.hasher, "threshold": args.threshold,
+                    "eval": args.eval_ref},
         "n_rows": sum(counts.values()),
-        "metrics": {"reasons": counts, "wall_sec": round(wall, 2)},
+        "metrics": {"reasons": counts, "wall_sec": round(wall, 2),
+                    **pack_metrics},
     }])
     print(json.dumps({
         "run_id": run_id,

@@ -69,8 +69,10 @@ def pack_sequences(
 
     ``token_col`` supplies a precomputed token count (e.g. from a real
     tokenizer run); default derives whitespace counts from ``text_col``.
-    The shard hash is the portable md5 prefix so the chunk strategy has
-    an exact DuckDB twin.
+    The unit is arbitrary: pass decoded-byte or pixel counts as
+    ``token_col`` to pack IMAGE rows into fixed-memory GPU batches with
+    the same machinery. The shard hash is the portable md5 prefix so the
+    chunk strategy has an exact DuckDB twin.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")

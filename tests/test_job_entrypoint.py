@@ -228,3 +228,61 @@ def test_decontaminate_job_end_to_end(spark, tmp_path, capsys):
     res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res2.get("skipped") is True
     assert spark.read.parquet(str(tmp_path / "dec")).count() == 40
+
+
+def test_curate_job_decontam_and_pack_stages(spark, tmp_path, capsys):
+    """r6: the curation job's --eval gate drops contaminated docs with
+    their own reason, and --pack-budget/--packed writes the kept set's
+    window assignments (only kept docs, every kept doc, fill metrics in
+    the manifest)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus_job
+
+    good = ("the quick brown fox jumps over the lazy dog while the other "
+            "animals watch from the shade of an old oak tree nearby")
+    leak = ("the capital of france is paris and the answer to the "
+            "benchmark question is forty two exactly as the key says")
+    rows = []
+    for i in range(50):
+        if i % 10 == 0:
+            txt = leak
+        elif i % 7 == 0:
+            txt = "too short"
+        else:
+            txt = f"{good} variant number {i} with its own distinct tail"
+        rows.append(Row(doc_id=i, text=txt))
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(inp)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame([Row(text=leak)]).write.mode(
+        "overwrite").parquet(ev)
+
+    argv = [
+        "--input", inp,
+        "--decisions", str(tmp_path / "dec"),
+        "--manifest", str(tmp_path / "man"),
+        "--threshold", "0.4",
+        "--eval", ev, "--decontam-min-overlap", "2",
+        "--pack-budget", "64", "--packed", str(tmp_path / "packed"),
+    ]
+    curate_corpus_job.main(argv)
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_decided"] == 50
+    assert res["reasons"].get("contaminated", 0) == 5   # the %10 leaks
+
+    dec = spark.read.parquet(str(tmp_path / "dec"))
+    kept = {r["doc_id"] for r in dec.where("keep").collect()}
+    assert not any(i % 10 == 0 for i in kept)
+
+    packed = spark.read.parquet(str(tmp_path / "packed"))
+    assert {r["doc_id"] for r in packed.collect()} == kept
+    assert packed.where(
+        (F.col("offset") < 0) | (F.col("offset") >= 64)).count() == 0
+
+    man = spark.read.json(str(tmp_path / "man"))
+    m = man.orderBy("partition").collect()[0]["metrics"]
+    assert m["packed_docs"] == len(kept)
+    assert m["n_seqs"] >= 1 and 0.0 < m["fill_rate"] <= 1.0

@@ -214,3 +214,24 @@ def test_decontaminate_and_boilerplate_plans_equi_join(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pack_chunk_single_exchange_no_global_window(spark):
+    """r6: chunk packing must plan exactly ONE exchange (hash by shard)
+    and its window must partition by shard — a global (unpartitioned)
+    window would funnel 10^12 rows through one task at the design
+    point."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.pack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some words here number {i} padded out")
+         for i in range(50)]
+    )
+    out = pack_sequences(docs, budget=16, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines and all("shard" in ln for ln in window_lines)
