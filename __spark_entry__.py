@@ -860,6 +860,32 @@ def q_pack_greedy(spark, sf):
     return pack_sequences(d, budget=512, n_shards=8, strategy="greedy")
 
 
+def q_vocab_stats(spark, sf):
+    """Corpus vocabulary table (r6): term + document frequency over the
+    normalized whitespace token stream, top 50 by tf (term tiebreak).
+    TakeOrdered top-k — no global sort task. Oracle replays the same
+    unnest/count/limit."""
+    from schisma_spark.functions.text import vocab_stats
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    return vocab_stats(d, "text", "doc_id", top_k=50)
+
+
+def q_weighted_sample(spark, sf):
+    """Deterministic mixture-reweighting sample (r6): per-source keep
+    probabilities via the portable id-hash uniform — src0 dropped, three
+    sources thinned, the rest kept whole. Pure filter projection, no
+    shuffle; the oracle applies the identical hash threshold."""
+    from schisma_spark.functions.curate import weighted_sample
+
+    d = fan_out(_t(spark, sf, "documents").select(
+        "doc_id", "source", "lang"))
+    out = weighted_sample(
+        d, {"src0": 0.0, "src1": 0.2, "src2": 0.5, "src3": 0.8},
+        stratum_col="source", id_col="doc_id", salt="mix1")
+    return out.select("doc_id", "source", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lineitem": q_stats_lineitem,
@@ -912,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
         "pack_greedy": q_pack_greedy,
+        "vocab_stats": q_vocab_stats,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2002,5 +2030,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(toks)::double / (sum(seqs) * 512), 6)
                      AS fill_rate
             FROM per
+        """,
+        # vocab_stats twin (r6): same words() normalization (the blank
+        # guard), NULL text unnests to zero rows on both sides
+        "vocab_stats": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+            ),
+            a AS (
+              SELECT term, count(*)::bigint AS tf,
+                     count(DISTINCT doc_id)::bigint AS df_docs
+              FROM w GROUP BY term
+            )
+            SELECT term, tf, df_docs FROM a
+            ORDER BY tf DESC, term LIMIT 50
+        """,
+        # weighted_sample twin (r6): identical portable hash threshold
+        "weighted_sample": f"""
+            SELECT doc_id, source, lang FROM documents
+            WHERE {_H32.format(x="doc_id::varchar || 'mix1'")}
+                    / 4294967296.0
+                  < (CASE source WHEN 'src0' THEN 0.0
+                       WHEN 'src1' THEN 0.2 WHEN 'src2' THEN 0.5
+                       WHEN 'src3' THEN 0.8 ELSE 1.0 END)
         """,
     }

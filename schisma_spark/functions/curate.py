@@ -272,3 +272,36 @@ def curation_keep_list(
         .select(F.col(id_col), (F.col("reason") == "ok").alias("keep"),
                 "reason")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli down-sample (r6) — the domain
+    MIXTURE-REWEIGHTING pass: keep a row iff ``u(id) < weight[stratum]``
+    where ``u`` is the portable id hash mapped to [0, 1). Strata absent
+    from ``weights`` (including NULL) use ``default_weight``; weights
+    >= 1 keep everything, 0 drops the stratum. ``salt`` decorrelates
+    repeated draws (two samples with the same salt select NESTED subsets
+    as weights shrink — by design, so shrinking a domain's weight only
+    removes rows).
+
+    Unlike :func:`stratified_sample` (exact per-stratum COUNT cap, needs
+    a rank), this is a pure shuffle-free filter projection — the scan is
+    the whole cost at any corpus size, and the expected kept fraction
+    per stratum is exactly its weight. Use the rank variant when the cap
+    must be exact, this one when the TARGET IS A MIX (e.g. down-weight
+    web crawl to 30%, keep curated sources at 100%)."""
+    from schisma_spark.functions.portable import HASH32_MAX, hash32
+
+    u = (hash32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+         / F.lit(float(HASH32_MAX) + 1.0))
+    w = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(w)
+    return df.where(u < w)

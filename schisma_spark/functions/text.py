@@ -244,3 +244,33 @@ def strip_boilerplate(df, text_col: str = "text", id_col: str = "doc_id",
             .cast("int").alias("n_removed"),
         )
     )
+
+
+def vocab_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                top_k: int = 50):
+    """Corpus VOCABULARY table (r6): the ``term, tf, df_docs`` rows a
+    tokenizer-training or IDF pass starts from — term frequency and
+    distinct-document frequency over the whitespace token stream
+    (lowercased/trimmed, same ``words()`` normalization as the dedup
+    family), top ``top_k`` by term frequency with the term itself as the
+    deterministic tiebreak.
+
+    Scale shape: one explode to (id, term) narrow rows, a two-phase
+    (map-side partial) count + approx-free distinct-doc count per term,
+    then ``orderBy().limit()`` — Spark plans TakeOrdered, a per-partition
+    top-k merged on the driver, NOT a single-task global sort; nothing
+    funnels at 10^12 docs. No NULL/blank rows survive the explode (empty
+    word array), matching the DuckDB twin's NULL unnest."""
+    from schisma_spark.functions.dedup import words
+
+    w = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    agg = w.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("_id").alias("df_docs"),
+    )
+    return (agg.orderBy(F.desc("tf"), F.asc("term")).limit(top_k)
+            .select("term", F.col("tf").cast("long").alias("tf"),
+                    F.col("df_docs").cast("long").alias("df_docs")))

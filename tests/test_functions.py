@@ -1157,3 +1157,51 @@ def test_pack_null_text_and_stats(spark):
     # one shard: windows = max(end_seq)+1 over the 11-token stream
     assert s["n_seqs"] == max(r["end_seq"] for r in got.values()) + 1
     assert abs(s["fill_rate"] - total / (s["n_seqs"] * 5)) < 1e-6
+
+
+def test_vocab_stats_exact_counts(spark):
+    """r6: term/doc-frequency table with deterministic tf-then-term
+    ordering; NULL and blank docs contribute nothing."""
+    from schisma_spark.functions.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"),
+         (3, "Apple  "), (4, None), (5, "")],
+        "doc_id long, text string")
+    rows = vocab_stats(df, top_k=10).collect()
+    assert [(r["term"], r["tf"], r["df_docs"]) for r in rows] == [
+        ("apple", 3, 2),      # lowercased: doc 3's 'Apple' counts
+        ("banana", 2, 2),
+        ("cherry", 1, 1),
+    ]
+    top1 = vocab_stats(df, top_k=1).collect()
+    assert [(r["term"], r["tf"]) for r in top1] == [("apple", 3)]
+
+
+def test_weighted_sample_properties(spark):
+    """r6 mixture reweighting: weight-0 stratum empty, weight-1 stratum
+    whole, kept fraction tracks the weight, and shrinking a weight under
+    the same salt only REMOVES rows (nested subsets)."""
+    from schisma_spark.functions.curate import weighted_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = weighted_sample(
+        df, {"s0": 0.0, "s1": 0.3, "s2": 1.0}, salt="t").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert "s0" not in by_src
+    assert len(by_src["s2"]) == 500                 # weight 1 keeps all
+    assert len(by_src["s3"]) == 500                 # default weight 1.0
+    assert 0.2 < len(by_src["s1"]) / 500 < 0.4      # tracks 0.3
+
+    smaller = weighted_sample(
+        df, {"s0": 0.0, "s1": 0.1, "s2": 1.0}, salt="t").collect()
+    s1_small = {r["doc_id"] for r in smaller if r["source"] == "s1"}
+    assert s1_small <= by_src["s1"]                 # nested under same salt
+    # a different salt draws a different subset at the same weight
+    other = {r["doc_id"] for r in weighted_sample(
+        df, {"s1": 0.3}, salt="u").collect() if r["source"] == "s1"}
+    assert other != by_src["s1"]
