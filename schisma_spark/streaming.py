@@ -223,3 +223,50 @@ def windowed_kll_stream(
             "sketch",
         )
     )
+
+
+def decontaminate_stream(
+    spark: SparkSession,
+    input_path: str,
+    spark_schema: T.StructType,
+    eval_df: DataFrame,
+    decisions_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    **decontam_kw,
+):
+    """Continuously decontaminate documents arriving under
+    ``input_path`` against a STATIC benchmark table — the streaming twin
+    of ``functions.dedup.decontaminate`` (the ingest-time gate: flag
+    benchmark leakage before a document ever lands in the corpus).
+
+    Each micro-batch is a complete set of documents (a document never
+    spans batches), so contamination is decided per batch with ZERO
+    cross-batch state: ``foreachBatch`` re-applies the batch operator
+    verbatim — same shingle hashing, same eval-set equi-join, every
+    batch row yields exactly one appended decision row. The eval frame
+    is evaluated per batch; cache it when it is not a trivial scan.
+    Restart semantics come from the checkpoint: a replayed batch
+    re-appends idempotently at the file-sink level (exactly-once via
+    Spark's foreachBatch + parquet sink transaction log is the
+    deployment's concern; the operator itself is deterministic, so
+    replays write identical rows)."""
+    from schisma_spark.functions.dedup import decontaminate
+
+    stream = spark.readStream.schema(spark_schema).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        (decontaminate(batch_df, eval_df, text_col, id_col,
+                       **decontam_kw)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(decisions_path))
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -179,3 +179,46 @@ def test_stateful_dedup_stream_derives_schema_types(spark, tmp_path):
     got = {r["fp"]: r for r in rows}
     assert got["x"]["n_dupes"] == 2 and got["x"]["first_id"] == 9
     assert got["y"]["n_dupes"] == 1 and got["y"]["first_id"] == 7
+
+
+def test_decontaminate_stream_available_now(spark, tmp_path):
+    """r6: stream-side decontamination — every arriving doc gets a
+    decision row, verbatim leaks flagged, incremental restart only
+    processes NEW files."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from schisma_spark.streaming import decontaminate_stream
+
+    leak = ("the capital of france is paris and the answer to the "
+            "benchmark question is forty two exactly as the key says")
+    sch = T.StructType([T.StructField("doc_id", T.LongType()),
+                        T.StructField("text", T.StringType())])
+    inp, dec, ckpt = (str(tmp_path / p) for p in ("in", "dec", "ckpt"))
+    rows = [Row(doc_id=i, text=leak if i % 5 == 0 else
+                f"organic training document number {i} about spark "
+                f"engines and shuffle behavior")
+            for i in range(20)]
+    spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(inp)
+    eval_df = spark.createDataFrame([Row(text=leak)])
+
+    q = decontaminate_stream(spark, inp, sch, eval_df, dec, ckpt,
+                             min_overlap=2)
+    q.awaitTermination(120)
+    out = spark.read.parquet(dec)
+    assert out.count() == 20
+    flagged = {r["doc_id"] for r in out.where("contaminated").collect()}
+    assert flagged == {0, 5, 10, 15}
+
+    # new files only on restart: 10 more docs, one more leak
+    more = [Row(doc_id=100 + i, text=leak if i == 3 else
+                f"fresh document {i} with novel content entirely")
+            for i in range(10)]
+    spark.createDataFrame(more, sch).coalesce(1).write.mode(
+        "append").parquet(inp)
+    q2 = decontaminate_stream(spark, inp, sch, eval_df, dec, ckpt,
+                              min_overlap=2)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(dec)
+    assert out2.count() == 30                    # 20 old NOT reprocessed
+    assert out2.where("contaminated").count() == 5
