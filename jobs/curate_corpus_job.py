@@ -73,7 +73,9 @@ def main(argv=None):
     ap.add_argument("--pack-budget", type=int, default=None,
                     help="token budget per context window for the "
                          "kept-set packing stage")
-    ap.add_argument("--pack-shards", type=int, default=32)
+    ap.add_argument("--pack-shards", type=int, default=None,
+                    help="window-partition count; default 4x session "
+                         "parallelism — size so rows/shards fits a task")
     ap.add_argument("--packed", default=None,
                     help="sink for the kept-set window assignments")
     args = ap.parse_args(argv)

@@ -54,7 +54,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     budget: int = 2048,
     token_col: str | None = None,
-    n_shards: int = 32,
+    n_shards: int | None = None,
     strategy: str = "chunk",
 ) -> DataFrame:
     """Per-document window assignment: ``id, tokens, shard, seq_id,
@@ -73,9 +73,21 @@ def pack_sequences(
     ``token_col`` to pack IMAGE rows into fixed-memory GPU batches with
     the same machinery. The shard hash is the portable md5 prefix so the
     chunk strategy has an exact DuckDB twin.
+
+    ``n_shards`` bounds the per-task work on BOTH strategies: each
+    shard is one sorted window partition (chunk) / one pandas group
+    (greedy), so a shard must fit a task — the default derives
+    ``4 x defaultParallelism`` from the session (a plan-time constant,
+    no job), but a 10^12-row corpus on a big cluster should pass an
+    explicit count sized so rows/n_shards stays in task range.
+    Determinism caveat: the assignment is deterministic GIVEN n_shards —
+    pin it explicitly when two runs (or an oracle) must agree across
+    differently-sized sessions.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards is None:
+        n_shards = 4 * df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col),
         _tokens(df, text_col, token_col).alias("tokens"),
