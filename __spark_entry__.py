@@ -860,6 +860,19 @@ def q_pack_greedy(spark, sf):
     return pack_sequences(d, budget=512, n_shards=8, strategy="greedy")
 
 
+def q_decontaminate_pairs(spark, sf):
+    """Decontamination attribution (r6): which benchmark doc leaked into
+    which corpus doc — per-pair distinct-shingle overlap counts at the
+    same self-contamination setup as q_decontaminate. Oracle replays the
+    per-pair join/count."""
+    from schisma_spark.functions.dedup import decontaminate_pairs
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    ev = d.where(F.col("doc_id") % 201 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    return decontaminate_pairs(d, ev, "text", "doc_id", min_overlap=2)
+
+
 def q_vocab_stats(spark, sf):
     """Corpus vocabulary table (r6): term + document frequency over the
     normalized whitespace token stream, top 50 by tf (term tiebreak).
@@ -940,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "vocab_stats": q_vocab_stats,
         "weighted_sample": q_weighted_sample,
+        "decontaminate_pairs": q_decontaminate_pairs,
     }
 
 
@@ -2030,6 +2044,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(toks)::double / (sum(seqs) * 512), 6)
                      AS fill_rate
             FROM per
+        """,
+        # decontaminate_pairs twin (r6): same shingle hashes, per-pair
+        # distinct-shingle overlap with the eval-id carried through
+        "decontaminate_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     coalesce(list_transform({_SHINGLES3},
+                              s -> ('0x'||substr(md5(s),1,8))::int64),
+                              []::bigint[]) AS shs
+              FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+            ),
+            c AS (SELECT doc_id, unnest(shs) AS h FROM corpus),
+            ev AS (
+              SELECT DISTINCT doc_id AS eval_id, unnest(shs) AS h
+              FROM corpus WHERE doc_id % 201 = 0
+            )
+            SELECT c.doc_id::bigint AS doc_id,
+                   ev.eval_id::bigint AS eval_id,
+                   count(*)::bigint AS n_shared
+            FROM c JOIN ev USING (h)
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # vocab_stats twin (r6): same words() normalization (the blank
         # guard), NULL text unnests to zero rows on both sides

@@ -375,6 +375,64 @@ def decontaminate(
     )
 
 
+def decontaminate_pairs(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str | None = None,
+    k: int = 3,
+    min_overlap: int = 1,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Decontamination ATTRIBUTION (r6): which benchmark document leaked
+    into which corpus document. One row per (corpus doc, eval doc) pair
+    sharing >= ``min_overlap`` distinct word k-gram shingle hashes:
+    ``id_col, eval_id_col, n_shared`` — the audit trail behind
+    :func:`decontaminate`'s per-doc verdict (a doc that operator flags
+    has at least one row here at the same threshold, and vice versa for
+    ``min_overlap=1``; per-eval-doc thresholds differ from the pooled
+    count once several eval docs each contribute a few shingles).
+
+    Scale shape: identical to :func:`decontaminate` — the corpus
+    explodes to (id, hash) narrow rows, the eval side to the small
+    DISTINCT (eval_id, hash) set (AQE-broadcast), then a per-pair count
+    with map-side partials; output is bounded by actual contamination,
+    not the corpus. Same portable/native hasher split."""
+    if eval_text_col is None:
+        eval_text_col = text_col
+    if hasher == "native":
+        def hash_fn(s: Column) -> Column:
+            return F.xxhash64(s)
+    else:
+        hash_fn = hash32
+
+    def shingle_hashes(c: Column) -> Column:
+        return F.coalesce(
+            F.transform(word_shingles(c, k), hash_fn),
+            F.array().cast("array<long>"),
+        )
+
+    corpus = df.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(F.col(text_col))).alias("_h"),
+    )
+    ev = (
+        eval_df.select(
+            F.col(eval_id_col),
+            F.explode(shingle_hashes(F.col(eval_text_col))).alias("_h"),
+        )
+        .distinct()
+    )
+    return (
+        corpus.join(ev, "_h")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,

@@ -1205,3 +1205,38 @@ def test_weighted_sample_properties(spark):
     other = {r["doc_id"] for r in weighted_sample(
         df, {"s1": 0.3}, salt="u").collect() if r["source"] == "s1"}
     assert other != by_src["s1"]
+
+
+def test_decontaminate_pairs_attribution(spark):
+    """r6: the per-pair audit trail names WHICH eval doc leaked into
+    which corpus doc, and at min_overlap=1 its flagged-doc set equals
+    decontaminate's verdict."""
+    from schisma_spark.functions.dedup import (
+        decontaminate, decontaminate_pairs,
+    )
+
+    leak_a = ("the capital of france is paris and the answer to the "
+              "benchmark question is forty two exactly")
+    leak_b = ("photosynthesis converts light energy into chemical energy "
+              "inside the chloroplasts of green plants")
+    rows = [
+        (1, leak_a),                       # verbatim leak of eval 100
+        (2, leak_b + " as we all know"),   # partial leak of eval 200
+        (3, "organic text about spark shuffles and window functions"),
+        (4, leak_a + " " + leak_b),        # leaks BOTH eval docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, leak_a), (200, leak_b)], "eval_id long, text string")
+
+    pairs = {(r["doc_id"], r["eval_id"]): r["n_shared"]
+             for r in decontaminate_pairs(df, ev, min_overlap=2).collect()}
+    assert set(pairs) == {(1, 100), (2, 200), (4, 100), (4, 200)}
+    assert pairs[(4, 100)] >= 2 and pairs[(4, 200)] >= 2
+
+    flagged = {r["doc_id"] for r in
+               decontaminate(df, ev, min_overlap=1).collect()
+               if r["contaminated"]}
+    attributed = {r["doc_id"] for r in
+                  decontaminate_pairs(df, ev, min_overlap=1).collect()}
+    assert flagged == attributed == {1, 2, 4}
