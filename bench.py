@@ -334,7 +334,7 @@ def main():
         "decontaminate", "strip_boilerplate",
         "pii_redaction", "repetition_stats",
         "pack_sequences", "pack_greedy",
-        "vocab_stats", "weighted_sample",
+        "vocab_stats", "weighted_sample", "decontaminate_pairs",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from schisma_spark.functions.portable import hash32
 from schisma_spark.functions.text import token_count_ws
 
-PACK_SCHEMA = ("{id} long, tokens long, shard long, seq_id long, "
+PACK_SCHEMA = ("{id} {id_type}, tokens long, shard long, seq_id long, "
                "offset long, end_seq long")
 
 
@@ -128,8 +128,9 @@ def pack_sequences(
             return pdf[[_id, "tokens", "shard", "seq_id", "offset",
                         "end_seq"]]
 
+        id_type = base.schema[id_col].dataType.simpleString()
         return base.groupBy("shard").applyInPandas(
-            _pack, PACK_SCHEMA.format(id=id_col))
+            _pack, PACK_SCHEMA.format(id=id_col, id_type=id_type))
     raise ValueError(f"unknown strategy {strategy!r}")
 
 

@@ -1240,3 +1240,24 @@ def test_decontaminate_pairs_attribution(spark):
     attributed = {r["doc_id"] for r in
                   decontaminate_pairs(df, ev, min_overlap=1).collect()}
     assert flagged == attributed == {1, 2, 4}
+
+
+def test_pack_images_by_pixel_budget(spark):
+    """r6: the packing operator is payload-agnostic — pack IMAGE rows
+    into fixed pixel-budget GPU batches via token_col=w*h (string ids,
+    greedy never splits an image across batches)."""
+    from schisma_spark.functions.pack import pack_sequences
+    from schisma_spark.image.fixtures import images_table
+
+    imgs = images_table(spark, 120, seed=3).select(
+        "image_id", (F.col("w") * F.col("h")).alias("px"))
+    budget = 4 * imgs.agg(F.max("px")).collect()[0][0]
+    out = pack_sequences(imgs, id_col="image_id", token_col="px",
+                         budget=budget, n_shards=4, strategy="greedy")
+    rows = out.collect()
+    assert len(rows) == 120                       # every image placed
+    fills = {}
+    for r in rows:
+        fills[(r["shard"], r["seq_id"])] = \
+            fills.get((r["shard"], r["seq_id"]), 0) + r["tokens"]
+    assert all(v <= budget for v in fills.values())   # no batch overflows
