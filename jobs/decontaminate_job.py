@@ -8,7 +8,8 @@ The cluster invocation mode (BASELINE.json:14), decontamination flavor::
         --eval <eval-set parquet-or-iceberg-ref> \
         --decisions <sink> --manifest <dir> \
         [--id-col doc_id] [--text-col text] [--eval-text-col text] \
-        [--shingle-k 3] [--min-overlap 1] [--hasher native]
+        [--shingle-k 3] [--min-overlap 1] [--hasher native] \
+        [--pairs <sink> --eval-id-col <col>]
 
 One row per corpus document (``id, n_shingles, n_overlap,
 contaminated``), written to the decisions sink BEFORE the manifest
@@ -42,7 +43,14 @@ def main(argv=None):
     ap.add_argument("--min-overlap", type=int, default=1)
     ap.add_argument("--hasher", default="native",
                     choices=["native", "portable"])
+    ap.add_argument("--pairs", default=None,
+                    help="optional sink for the per-(doc, eval-doc) "
+                         "leak-attribution pairs; needs --eval-id-col")
+    ap.add_argument("--eval-id-col", default=None)
     args = ap.parse_args(argv)
+    if args.pairs and not args.eval_id_col:
+        ap.error("--pairs requires --eval-id-col (a stable id column "
+                 "on the eval table for attribution)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -75,6 +83,19 @@ def main(argv=None):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("contaminated").cast("long")).alias("flagged"),
     ).collect()[0]
+    n_pairs = None
+    if args.pairs:
+        from schisma_spark.functions.dedup import decontaminate_pairs
+
+        pairs = decontaminate_pairs(
+            corpus, eval_df, args.text_col, args.id_col,
+            eval_id_col=args.eval_id_col,
+            eval_text_col=args.eval_text_col, k=args.shingle_k,
+            min_overlap=args.min_overlap, hasher=args.hasher,
+        ).persist()
+        write_table(pairs, args.pairs, mode="append")
+        n_pairs = pairs.count()
+        pairs.unpersist()
     wall = time.perf_counter() - t0
     decisions.unpersist()
 
@@ -88,6 +109,8 @@ def main(argv=None):
         "n_rows": int(agg["n"]),
         "metrics": {"flagged": int(agg["flagged"] or 0),
                     "clean": int(agg["n"]) - int(agg["flagged"] or 0),
+                    **({"n_pairs": int(n_pairs)}
+                       if n_pairs is not None else {}),
                     "wall_sec": round(wall, 2)},
     }])
     print(json.dumps({

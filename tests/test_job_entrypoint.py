@@ -286,3 +286,35 @@ def test_curate_job_decontam_and_pack_stages(spark, tmp_path, capsys):
     m = man.orderBy("partition").collect()[0]["metrics"]
     assert m["packed_docs"] == len(kept)
     assert m["n_seqs"] >= 1 and 0.0 < m["fill_rate"] <= 1.0
+
+
+def test_decontaminate_job_pairs_sink(spark, tmp_path, capsys):
+    """r6: --pairs writes the leak-attribution rows naming which eval
+    doc each flagged corpus doc overlaps."""
+    from pyspark.sql import Row
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import decontaminate_job
+
+    leak = ("the capital of france is paris and the capital of spain "
+            "is madrid according to the benchmark answer key")
+    rows = [Row(doc_id=i, text=leak if i in (2, 9) else
+                f"organic doc {i} about partitions and skew handling")
+            for i in range(12)]
+    inp = str(tmp_path / "corpus")
+    spark.createDataFrame(rows).write.parquet(inp)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame([Row(eval_id=7, text=leak)]).write.parquet(ev)
+
+    decontaminate_job.main([
+        "--input", inp, "--eval", ev,
+        "--decisions", str(tmp_path / "dec"),
+        "--manifest", str(tmp_path / "man"),
+        "--min-overlap", "2",
+        "--pairs", str(tmp_path / "pairs"), "--eval-id-col", "eval_id",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["flagged"] == 2
+    got = {(r["doc_id"], r["eval_id"]) for r in
+           spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    assert got == {(2, 7), (9, 7)}
