@@ -873,6 +873,40 @@ def q_decontaminate_pairs(spark, sf):
     return decontaminate_pairs(d, ev, "text", "doc_id", min_overlap=2)
 
 
+def q_url_filter(spark, sf):
+    """URL provenance filtering (r6): hosts are synthesized from the
+    source column with every parsing edge planted — mixed-case scheme +
+    userinfo (doc%3), blocklisted domain incl. a cdn subdomain (doc%5),
+    fragment (doc%7), empty query (doc%11), non-URL garbage (doc%13),
+    NULL (doc 1). Domain-level blocking catches subdomains; blocked is
+    always a real boolean (NULL-safe). Oracle replays the identical
+    Java∩RE2 regexes."""
+    from schisma_spark.functions.web import url_filter
+
+    did = F.col("doc_id")
+    url = (
+        F.when(did == 1, F.lit(None).cast("string"))
+        .when(did % 13 == 0, F.lit("not a url at all"))
+        .otherwise(F.concat(
+            F.when(did % 3 == 0, F.lit("HTTPS://User@"))
+            .otherwise(F.lit("https://")),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit("cdn."), F.col("source"),
+                            F.lit(".badsite.net")))
+            .otherwise(F.concat(F.col("source"), F.lit(".GoodHost.io"))),
+            F.lit("/docs/"), did.cast("string"),
+            F.when(did % 7 == 0, F.lit("#Section-2"))
+            .when(did % 11 == 0, F.lit("?")).otherwise(F.lit("")),
+        ))
+    )
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "source")
+                .withColumn("url", url))
+    bl = spark.createDataFrame([("badsite.net",)], "entry string")
+    out = url_filter(d, bl, "url", by="domain")
+    return out.select("doc_id", "url", "host", "domain", "url_norm",
+                      "blocked")
+
+
 def q_vocab_stats(spark, sf):
     """Corpus vocabulary table (r6): term + document frequency over the
     normalized whitespace token stream, top 50 by tf (term tiebreak).
@@ -954,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "weighted_sample": q_weighted_sample,
         "decontaminate_pairs": q_decontaminate_pairs,
+        "url_filter": q_url_filter,
     }
 
 
@@ -969,6 +1004,8 @@ _SHINGLES3 = (
 _WORDS = ("(CASE WHEN trim(text) = '' THEN []::varchar[] "
           "ELSE string_split_regex(trim(lower(text)), '\\s+') END)")
 _H32 = "('0x'||substr(md5({x}),1,8))::int64"
+#: one source of truth for the URL host regex (Java∩RE2, no escapes)
+from schisma_spark.functions.web import HOST_RE as _HOST_RE  # noqa: E402
 _FP = ("('0x'||substr(md5(regexp_replace(lower(trim({x})),'\\s+',' ','g'))"
        ",1,15))::int64")
 
@@ -2065,6 +2102,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_shared
             FROM c JOIN ev USING (h)
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # url_filter twin (r6): identical Java∩RE2 regexes interpolated
+        # from functions/web.py; blocked is NULL-safe on both sides
+        "url_filter": f"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id = 1 THEN NULL
+                     WHEN doc_id % 13 = 0 THEN 'not a url at all'
+                     ELSE
+                       (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://User@'
+                             ELSE 'https://' END)
+                       || (CASE WHEN doc_id % 5 = 0
+                               THEN 'cdn.' || source || '.badsite.net'
+                               ELSE source || '.GoodHost.io' END)
+                       || '/docs/' || doc_id::varchar
+                       || (CASE WHEN doc_id % 7 = 0 THEN '#Section-2'
+                                WHEN doc_id % 11 = 0 THEN '?'
+                                ELSE '' END)
+                END AS url
+              FROM documents
+            ),
+            parsed AS (
+              SELECT doc_id, url,
+                regexp_extract(lower(url), '{_HOST_RE}', 1) AS host,
+                regexp_replace(regexp_replace(lower(url), '#.*$', '',
+                               'g'), '\\?$', '', 'g') AS url_norm
+              FROM src
+            )
+            SELECT doc_id, url, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   url_norm,
+                   coalesce(regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                            = 'badsite.net', FALSE) AS blocked
+            FROM parsed
         """,
         # vocab_stats twin (r6): same words() normalization (the blank
         # guard), NULL text unnests to zero rows on both sides

@@ -1261,3 +1261,48 @@ def test_pack_images_by_pixel_budget(spark):
         fills[(r["shard"], r["seq_id"])] = \
             fills.get((r["shard"], r["seq_id"]), 0) + r["tokens"]
     assert all(v <= budget for v in fills.values())   # no batch overflows
+
+
+def test_url_ops_and_filter(spark):
+    """r6 web family: host/domain extraction edges (userinfo, port,
+    case, garbage, NULL), normalization (fragment + empty query), and
+    domain-level blocking that catches subdomains but not lookalikes."""
+    from schisma_spark.functions.web import (
+        registered_domain, url_filter, url_host, url_normalize,
+    )
+
+    rows = [
+        (1, "https://Sub.A.Example.COM:8080/Path?q=1#Frag"),
+        (2, "HTTPS://user:pw@cdn.badsite.net/x"),
+        (3, "ftp://files.badsite.net/pub"),
+        (4, "https://notbadsite.net/landing?"),
+        (5, "not a url at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        url_host(F.col("url")).alias("h"),
+        registered_domain(url_host(F.col("url"))).alias("d"),
+        url_normalize(F.col("url")).alias("n")).collect()}
+    assert got[1]["h"] == "sub.a.example.com"       # port stripped, lowered
+    assert got[1]["d"] == "example.com"
+    assert got[1]["n"] == "https://sub.a.example.com:8080/path?q=1"
+    assert got[2]["h"] == "cdn.badsite.net"         # userinfo stripped
+    assert got[3]["h"] == "files.badsite.net"       # any scheme
+    assert got[4]["n"] == "https://notbadsite.net/landing"  # '?' stripped
+    assert got[5]["h"] == "" and got[5]["d"] == ""
+    assert got[6]["h"] is None
+
+    bl = spark.createDataFrame([("badsite.net",)], "entry string")
+    blocked = {r["doc_id"]: r["blocked"]
+               for r in url_filter(df, bl, by="domain").collect()}
+    assert blocked == {1: False, 2: True, 3: True, 4: False,
+                       5: False, 6: False}          # every row decided
+    by_host = {r["doc_id"]: r["blocked"] for r in url_filter(
+        df, spark.createDataFrame([("cdn.badsite.net",)], "e string"),
+        by="host").collect()}
+    assert by_host[2] is True and by_host[3] is False
+
+    with pytest.raises(ValueError):
+        url_filter(df, bl, by="tld")
