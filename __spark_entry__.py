@@ -873,6 +873,19 @@ def q_decontaminate_pairs(spark, sf):
     return decontaminate_pairs(d, ev, "text", "doc_id", min_overlap=2)
 
 
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment (r6): cumulative
+    hash-threshold labels — stable under corpus growth (membership is a
+    pure function of id+salt). Shuffle-free; the oracle replays the
+    identical thresholds."""
+    from schisma_spark.functions.curate import hash_split
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "lang"))
+    out = hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05},
+                     salt="split1")
+    return out.select("doc_id", "lang", "split")
+
+
 def q_url_filter(spark, sf):
     """URL provenance filtering (r6): hosts are synthesized from the
     source column with every parsing edge planted — mixed-case scheme +
@@ -989,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "decontaminate_pairs": q_decontaminate_pairs,
         "url_filter": q_url_filter,
+        "hash_split": q_hash_split,
     }
 
 
@@ -2102,6 +2116,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_shared
             FROM c JOIN ev USING (h)
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # hash_split twin (r6): same portable hash, same cumulative edges
+        "hash_split": f"""
+            SELECT doc_id, lang,
+              (CASE
+                 WHEN {_H32.format(x="doc_id::varchar || 'split1'")}
+                        / 4294967296.0 < 0.9 THEN 'train'
+                 WHEN {_H32.format(x="doc_id::varchar || 'split1'")}
+                        / 4294967296.0 < 0.95 THEN 'val'
+                 ELSE 'test' END) AS split
+            FROM documents
         """,
         # url_filter twin (r6): identical Java∩RE2 regexes interpolated
         # from functions/web.py; blocked is NULL-safe on both sides

@@ -335,7 +335,7 @@ def main():
         "pii_redaction", "repetition_stats",
         "pack_sequences", "pack_greedy",
         "vocab_stats", "weighted_sample", "decontaminate_pairs",
-        "url_filter",
+        "url_filter", "hash_split",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

@@ -305,3 +305,41 @@ def weighted_sample(
     for k, v in sorted(weights.items()):
         w = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(w)
     return df.where(u < w)
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST assignment (r6): one ``split_col``
+    label per row from cumulative ``fractions`` over the portable
+    id-hash uniform — ``{"train": .9, "val": .05, "test": .05}`` sends a
+    row to train iff ``u < .9``, to val iff ``u < .95``, else test.
+    Fractions are taken in the dict's insertion order and must sum to 1
+    (within 1e-9; raises otherwise — a silent remainder would leak rows
+    into the LAST split). Membership depends only on (id, salt): stable
+    across runs, cluster sizes and corpus growth — a doc added tomorrow
+    cannot move today's docs between splits (the leakage property that
+    matters). Shuffle-free projection; the same hash family as
+    :func:`weighted_sample`, so use a DIFFERENT salt when composing
+    both, or sampling correlates with split assignment."""
+    from schisma_spark.functions.portable import HASH32_MAX, hash32
+
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = (hash32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+         / F.lit(float(HASH32_MAX) + 1.0))
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        conds.append((name, cum))
+    for name, edge in reversed(conds):
+        expr = F.when(u < F.lit(edge), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -1306,3 +1306,28 @@ def test_url_ops_and_filter(spark):
 
     with pytest.raises(ValueError):
         url_filter(df, bl, by="tld")
+
+
+def test_hash_split_stability_and_fractions(spark):
+    """r6: split labels track the fractions, are stable under corpus
+    GROWTH (old rows never move), and a bad fraction sum raises."""
+    from schisma_spark.functions.curate import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"] for r in hash_split(df, fr).collect()}
+    counts = {}
+    for s in got.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert 0.75 < counts["train"] / 3000 < 0.85
+    assert 0.07 < counts["val"] / 3000 < 0.13
+    assert 0.07 < counts["test"] / 3000 < 0.13
+
+    grown = spark.createDataFrame([(i,) for i in range(6000)],
+                                  "doc_id long")
+    regrown = {r["doc_id"]: r["split"]
+               for r in hash_split(grown, fr).collect()}
+    assert all(regrown[i] == got[i] for i in range(3000))  # no migration
+
+    with pytest.raises(ValueError):
+        hash_split(df, {"train": 0.9, "val": 0.05})
