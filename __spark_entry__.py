@@ -2150,7 +2150,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             parsed AS (
               SELECT doc_id, url,
-                regexp_extract(lower(url), '{_HOST_RE}', 1) AS host,
+                regexp_replace(regexp_extract(lower(url), '{_HOST_RE}',
+                               1), '\\.$', '', 'g') AS host,
                 regexp_replace(regexp_replace(lower(url), '#.*$', '',
                                'g'), '\\?$', '', 'g') AS url_norm
               FROM src

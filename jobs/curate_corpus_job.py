@@ -79,6 +79,8 @@ def main(argv=None):
     ap.add_argument("--packed", default=None,
                     help="sink for the kept-set window assignments")
     args = ap.parse_args(argv)
+    if bool(args.pack_budget) != bool(args.packed):
+        ap.error("--pack-budget and --packed must be given together")
 
     from pyspark.sql import SparkSession
 

@@ -62,7 +62,12 @@ def main(argv=None):
     from schisma_spark.manifest import Manifest
     from schisma_spark.sources import fan_out, read_table, write_table
 
-    run_id = args.run_id or f"decontaminate:{args.input}|{args.eval_ref}"
+    # the parameters are part of the default idempotency key: re-running
+    # the same inputs at a different threshold/shingle/hasher is a NEW
+    # run, not a skip (the old key silently served stale verdicts)
+    run_id = args.run_id or (
+        f"decontaminate:{args.input}|{args.eval_ref}"
+        f"|k{args.shingle_k}|o{args.min_overlap}|{args.hasher}")
     man = Manifest(args.manifest)
     if run_id in man.done_partitions():
         print(json.dumps({"skipped": True, "run_id": run_id}))

@@ -274,6 +274,17 @@ def curation_keep_list(
     )
 
 
+def _id_uniform(id_col: str, salt: str):
+    """Portable-hash uniform in [0, 1) from (id, salt); NULL ids map to
+    the hash of just the salt (one shared deterministic draw) so
+    NULL-comparison semantics never silently drop or misroute rows."""
+    from schisma_spark.functions.portable import HASH32_MAX, hash32
+
+    key = F.concat(F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                   F.lit(salt))
+    return hash32(key) / F.lit(float(HASH32_MAX) + 1.0)
+
+
 def weighted_sample(
     df: DataFrame,
     weights: dict[str, float],
@@ -296,11 +307,12 @@ def weighted_sample(
     the whole cost at any corpus size, and the expected kept fraction
     per stratum is exactly its weight. Use the rank variant when the cap
     must be exact, this one when the TARGET IS A MIX (e.g. down-weight
-    web crawl to 30%, keep curated sources at 100%)."""
-    from schisma_spark.functions.portable import HASH32_MAX, hash32
+    web crawl to 30%, keep curated sources at 100%).
 
-    u = (hash32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-         / F.lit(float(HASH32_MAX) + 1.0))
+    NULL ids share one deterministic draw (the hash of the empty string
+    + salt) rather than being silently dropped by a NULL comparison —
+    a weight-1.0 stratum really does keep everything."""
+    u = _id_uniform(id_col, salt)
     w = F.lit(float(default_weight))
     for k, v in sorted(weights.items()):
         w = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(w)
@@ -318,21 +330,24 @@ def hash_split(
     label per row from cumulative ``fractions`` over the portable
     id-hash uniform — ``{"train": .9, "val": .05, "test": .05}`` sends a
     row to train iff ``u < .9``, to val iff ``u < .95``, else test.
-    Fractions are taken in the dict's insertion order and must sum to 1
-    (within 1e-9; raises otherwise — a silent remainder would leak rows
-    into the LAST split). Membership depends only on (id, salt): stable
+    Fractions are taken in the dict's insertion order, must each lie in
+    [0, 1] and must sum to 1 (within 1e-9; raises otherwise — a silent
+    remainder would leak rows into the LAST split, and a negative
+    fraction would shift every later edge). NULL ids share one
+    deterministic draw (see :func:`weighted_sample`) instead of falling
+    through to the last label. Membership depends only on (id, salt): stable
     across runs, cluster sizes and corpus growth — a doc added tomorrow
     cannot move today's docs between splits (the leakage property that
     matters). Shuffle-free projection; the same hash family as
     :func:`weighted_sample`, so use a DIFFERENT salt when composing
     both, or sampling correlates with split assignment."""
-    from schisma_spark.functions.portable import HASH32_MAX, hash32
-
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        raise ValueError(f"fractions must be in [0, 1], got {bad}")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    u = (hash32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-         / F.lit(float(HASH32_MAX) + 1.0))
+    u = _id_uniform(id_col, salt)
     names = list(fractions)
     expr = F.lit(names[-1])
     cum = 0.0

@@ -149,10 +149,13 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
         (F.max("end_seq") + 1).alias("seqs"),
         F.sum("tokens").alias("toks"),
     )
+    # empty input: global sums over zero rows are NULL — report a real
+    # all-zero row (callers int()/float() the metrics into manifests)
     return per_shard.agg(
-        F.sum("docs").cast("long").alias("n_docs"),
-        F.sum("seqs").cast("long").alias("n_seqs"),
-        F.sum("toks").cast("long").alias("total_tokens"),
-        F.round(F.sum("toks") / (F.sum("seqs") * budget), 6)
-         .alias("fill_rate"),
+        F.coalesce(F.sum("docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("seqs"), F.lit(0)).cast("long").alias("n_seqs"),
+        F.coalesce(F.sum("toks"), F.lit(0)).cast("long")
+         .alias("total_tokens"),
+        F.coalesce(F.round(F.sum("toks") / (F.sum("seqs") * budget), 6),
+                   F.lit(0.0)).alias("fill_rate"),
     )

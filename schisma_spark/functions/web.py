@@ -21,10 +21,13 @@ HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 def url_host(c: Column) -> Column:
     """Lower-cased host of an absolute URL; '' when the value does not
-    parse as scheme://... (relative refs, garbage, NULL -> NULL).
-    DuckDB: ``regexp_extract(lower(u), HOST_RE, 1)`` — same '' no-match
-    convention on both engines."""
-    return F.regexp_extract(F.lower(c), HOST_RE, 1)
+    parse as scheme://... (relative refs, garbage, NULL -> NULL). A
+    trailing-dot FQDN (``badsite.net.`` — DNS-equivalent and a classic
+    blocklist evasion) is normalized to the dotless form. DuckDB:
+    ``regexp_replace(regexp_extract(lower(u), HOST_RE, 1), '\\.$', '')``
+    — same '' no-match convention on both engines."""
+    return F.regexp_replace(
+        F.regexp_extract(F.lower(c), HOST_RE, 1), r"\.$", "")
 
 
 def url_normalize(c: Column) -> Column:
@@ -67,8 +70,14 @@ def url_filter(
     if by not in ("domain", "host"):
         raise ValueError(f"by must be 'domain' or 'host', got {by!r}")
     key_col = blocklist.columns[0]
-    bl = blocklist.select(
-        F.lower(F.col(key_col)).alias("_blk")).distinct()
+    # normalize the list side the same way as the corpus side: lower,
+    # strip a trailing FQDN dot, and — for domain matching — reduce
+    # host-form entries ('www.badsite.net') to their registered domain
+    # so they block instead of silently never matching
+    blk = F.regexp_replace(F.lower(F.col(key_col)), r"\.$", "")
+    if by == "domain":
+        blk = registered_domain(blk)
+    bl = blocklist.select(blk.alias("_blk")).distinct()
     host = url_host(F.col(url_col))
     out = df.withColumn("host", host).withColumn(
         "domain", registered_domain(F.col("host"))).withColumn(

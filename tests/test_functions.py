@@ -1158,6 +1158,12 @@ def test_pack_null_text_and_stats(spark):
     assert s["n_seqs"] == max(r["end_seq"] for r in got.values()) + 1
     assert abs(s["fill_rate"] - total / (s["n_seqs"] * 5)) < 1e-6
 
+    # EMPTY packed frame (e.g. a keep-list that dropped everything):
+    # real zeros, not NULLs that crash int() in job manifests
+    empty = packing_stats(p.where(F.lit(False)), 5).collect()[0]
+    assert (empty["n_docs"], empty["n_seqs"],
+            empty["total_tokens"], empty["fill_rate"]) == (0, 0, 0, 0.0)
+
 
 def test_vocab_stats_exact_counts(spark):
     """r6: term/doc-frequency table with deterministic tf-then-term
@@ -1205,6 +1211,11 @@ def test_weighted_sample_properties(spark):
     other = {r["doc_id"] for r in weighted_sample(
         df, {"s1": 0.3}, salt="u").collect() if r["source"] == "s1"}
     assert other != by_src["s1"]
+
+    # NULL ids are NOT silently dropped: weight 1.0 keeps them
+    nid = spark.createDataFrame([(None, "s2"), (5, "s2")],
+                                "doc_id long, source string")
+    assert weighted_sample(nid, {"s2": 1.0}).count() == 2
 
 
 def test_decontaminate_pairs_attribution(spark):
@@ -1278,6 +1289,7 @@ def test_url_ops_and_filter(spark):
         (4, "https://notbadsite.net/landing?"),
         (5, "not a url at all"),
         (6, None),
+        (7, "https://badsite.net./evade"),   # trailing-dot FQDN evasion
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r["doc_id"]: r for r in df.select(
@@ -1293,16 +1305,24 @@ def test_url_ops_and_filter(spark):
     assert got[4]["n"] == "https://notbadsite.net/landing"  # '?' stripped
     assert got[5]["h"] == "" and got[5]["d"] == ""
     assert got[6]["h"] is None
+    assert got[7]["h"] == "badsite.net"             # trailing dot stripped
 
     bl = spark.createDataFrame([("badsite.net",)], "entry string")
     blocked = {r["doc_id"]: r["blocked"]
                for r in url_filter(df, bl, by="domain").collect()}
     assert blocked == {1: False, 2: True, 3: True, 4: False,
-                       5: False, 6: False}          # every row decided
+                       5: False, 6: False, 7: True}  # every row decided
     by_host = {r["doc_id"]: r["blocked"] for r in url_filter(
         df, spark.createDataFrame([("cdn.badsite.net",)], "e string"),
         by="host").collect()}
     assert by_host[2] is True and by_host[3] is False
+
+    # host-form blocklist entries are reduced to their registered domain
+    # under by='domain' (they used to silently never match)
+    host_entry = {r["doc_id"]: r["blocked"] for r in url_filter(
+        df, spark.createDataFrame([("www.badsite.net",)], "e string"),
+        by="domain").collect()}
+    assert host_entry[2] is True and host_entry[3] is True
 
     with pytest.raises(ValueError):
         url_filter(df, bl, by="tld")
@@ -1331,3 +1351,12 @@ def test_hash_split_stability_and_fractions(spark):
 
     with pytest.raises(ValueError):
         hash_split(df, {"train": 0.9, "val": 0.05})
+    with pytest.raises(ValueError):                 # sums to 1, but bad
+        hash_split(df, {"train": 1.5, "val": -0.5})
+
+    # NULL ids: one shared deterministic draw, never the silent
+    # fall-through-to-last-label NULL-comparison path
+    nid = spark.createDataFrame([(None,), (None,), (7,)], "doc_id long")
+    labs = [r["split"] for r in hash_split(nid, fr).collect()
+            if r["doc_id"] is None]
+    assert len(labs) == 2 and len(set(labs)) == 1

@@ -235,3 +235,25 @@ def test_pack_chunk_single_exchange_no_global_window(spark):
     assert "Exchange rangepartitioning" not in plan
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert window_lines and all("shard" in ln for ln in window_lines)
+
+
+def test_vocab_topk_and_weighted_sample_plan_shapes(spark):
+    """r6 ledger claims, asserted: vocab_stats' top-k plans
+    TakeOrderedAndProject (per-partition top-k, never a global sort
+    task) and weighted_sample is a shuffle-free filter projection."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.curate import weighted_sample
+    from schisma_spark.functions.text import vocab_stats
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta token{i % 7}", source=f"s{i % 3}")
+         for i in range(40)]
+    )
+    vplan = (vocab_stats(docs, top_k=5)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in vplan
+    assert "Exchange rangepartitioning" not in vplan   # no global sort
+
+    wplan = (weighted_sample(docs, {"s0": 0.5})
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in wplan
