@@ -1979,14 +1979,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id::bigint AS doc_id,
-              round(CASE WHEN len(w) = 0 THEN 0.0
+              round(CASE WHEN text IS NULL OR len(w) = 0 THEN 0.0
                     ELSE 1.0 - len(list_distinct(w))::double / len(w)
                     END, 6) AS dup_word_frac,
-              round(CASE WHEN len(ls) = 0 THEN 0.0
+              round(CASE WHEN text IS NULL OR len(ls) = 0 THEN 0.0
                     ELSE 1.0 - len(list_distinct(ls))::double / len(ls)
                     END, 6) AS dup_line_frac
             FROM (
-              SELECT doc_id, {_WORDS} AS w,
+              SELECT doc_id, text, {_WORDS} AS w,
                      list_filter(list_transform(
                        string_split(text, chr(10)), x -> trim(x)),
                        x -> x <> '') AS ls

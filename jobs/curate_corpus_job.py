@@ -44,7 +44,8 @@ def main(argv=None):
     ap.add_argument("--decisions", required=True)
     ap.add_argument("--manifest", required=True)
     ap.add_argument("--run-id", default=None,
-                    help="idempotency key; default: derived from --input")
+                    help="idempotency key; default: derived from --input "
+                         "plus every kept-set-affecting parameter")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-quality", type=float, default=0.5)
@@ -93,7 +94,18 @@ def main(argv=None):
     from schisma_spark.manifest import Manifest
     from schisma_spark.sources import fan_out, read_table, write_table
 
-    run_id = args.run_id or f"curate:{args.input}"
+    # every parameter that changes the kept set is part of the default
+    # idempotency key (the decontaminate_job convention): re-running the
+    # same input WITH --eval after a run without it is a NEW run — the
+    # old input-only key silently kept the stale, contaminated keep-list
+    # (r6 self-review)
+    run_id = args.run_id or (
+        f"curate:{args.input}"
+        f"|q{args.min_quality}|t{args.min_tokens}|th{args.threshold}"
+        f"|h{args.n_hashes}|b{args.bands}|{args.hasher}"
+        + (f"|eval={args.eval_ref}|o{args.decontam_min_overlap}"
+           if args.eval_ref else "")
+        + (f"|pack{args.pack_budget}" if args.pack_budget else ""))
     man = Manifest(args.manifest)
     if run_id in man.done_partitions():
         print(json.dumps({"skipped": True, "run_id": run_id}))

@@ -77,10 +77,26 @@ def main(argv=None):
                      .select(args.id_col, args.text_col))
     eval_df = read_table(spark, args.eval_ref)
     t0 = time.perf_counter()
+    # the corpus shingle pass (scan text, split, k-gram, hash) is the
+    # dominant cost at scale; with --pairs it feeds BOTH the per-doc
+    # verdict and the attribution sink, so compute it once and persist
+    # the narrow (id, array<long>) frame — without --pairs stay fully
+    # lazy (r6 self-review)
+    shingles_kw = {}
+    if args.pairs:
+        from schisma_spark.functions.dedup import _shingle_hashes
+
+        corpus = corpus.select(
+            F.col(args.id_col),
+            _shingle_hashes(F.col(args.text_col), args.shingle_k,
+                            args.hasher).alias("_shs"),
+        ).persist()
+        shingles_kw = {"shingles_col": "_shs"}
     decisions = decontaminate(
         corpus, eval_df, args.text_col, args.id_col,
         eval_text_col=args.eval_text_col, k=args.shingle_k,
         min_overlap=args.min_overlap, hasher=args.hasher,
+        **shingles_kw,
     ).persist()  # one materialization feeds the sink write AND the counts
     # sink commits BEFORE the manifest append (CLAUDE.md manifest rule)
     write_table(decisions, args.decisions, mode="append")
@@ -97,12 +113,15 @@ def main(argv=None):
             eval_id_col=args.eval_id_col,
             eval_text_col=args.eval_text_col, k=args.shingle_k,
             min_overlap=args.min_overlap, hasher=args.hasher,
+            **shingles_kw,
         ).persist()
         write_table(pairs, args.pairs, mode="append")
         n_pairs = pairs.count()
         pairs.unpersist()
     wall = time.perf_counter() - t0
     decisions.unpersist()
+    if args.pairs:
+        corpus.unpersist()
 
     man.append([{
         "partition": run_id,

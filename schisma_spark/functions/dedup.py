@@ -296,6 +296,22 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _shingle_hashes(c: Column, k: int, hasher: str) -> Column:
+    """Hashed word k-gram shingles (NULL text -> empty array) — the ONE
+    definition shared by :func:`decontaminate` and
+    :func:`decontaminate_pairs`, so the per-doc verdict and its
+    attribution audit trail can never desynchronize on the hashing."""
+    if hasher == "native":
+        def hash_fn(s: Column) -> Column:  # fixed arity for the HOF
+            return F.xxhash64(s)
+    else:
+        hash_fn = hash32
+    return F.coalesce(
+        F.transform(word_shingles(c, k), hash_fn),
+        F.array().cast("array<long>"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,
@@ -305,6 +321,7 @@ def decontaminate(
     k: int = 3,
     min_overlap: int = 1,
     hasher: str = "portable",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION (r5 VERDICT #4): flag corpus documents
     whose word k-gram shingles overlap an eval-set table — the standard
@@ -332,27 +349,25 @@ def decontaminate(
     (map-side partials). No forced broadcast hint (CLAUDE.md: forced
     hints die under session memory pressure where AQE's choice
     succeeds); plan-guarded against cartesian in
-    tests/test_plan_guarantees.py."""
+    tests/test_plan_guarantees.py.
+
+    ``shingles_col``: name of a pre-computed hashed-shingle
+    ``array<long>`` column on ``df`` (built with the same k/hasher,
+    e.g. by the decontaminate job so the expensive corpus shingle pass
+    is computed once and persisted for both the per-doc verdict and the
+    :func:`decontaminate_pairs` audit trail); ``text_col`` is ignored
+    when given."""
     if eval_text_col is None:
         eval_text_col = text_col
-    if hasher == "native":
-        def hash_fn(s: Column) -> Column:
-            return F.xxhash64(s)
-    else:
-        hash_fn = hash32
 
-    def shingle_hashes(c: Column) -> Column:
-        return F.coalesce(
-            F.transform(word_shingles(c, k), hash_fn),
-            F.array().cast("array<long>"),
-        )
-
-    corpus = df.select(
-        F.col(id_col), shingle_hashes(F.col(text_col)).alias("_shs")
-    )
+    shs = (F.col(shingles_col) if shingles_col is not None
+           else _shingle_hashes(F.col(text_col), k, hasher))
+    corpus = df.select(F.col(id_col), shs.alias("_shs"))
     ev = (
         eval_df.select(
-            F.explode(shingle_hashes(F.col(eval_text_col))).alias("_h")
+            F.explode(
+                _shingle_hashes(F.col(eval_text_col), k, hasher)
+            ).alias("_h")
         )
         .distinct()
     )
@@ -385,6 +400,7 @@ def decontaminate_pairs(
     k: int = 3,
     min_overlap: int = 1,
     hasher: str = "portable",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Decontamination ATTRIBUTION (r6): which benchmark document leaked
     into which corpus document. One row per (corpus doc, eval doc) pair
@@ -399,29 +415,21 @@ def decontaminate_pairs(
     explodes to (id, hash) narrow rows, the eval side to the small
     DISTINCT (eval_id, hash) set (AQE-broadcast), then a per-pair count
     with map-side partials; output is bounded by actual contamination,
-    not the corpus. Same portable/native hasher split."""
+    not the corpus. Same portable/native hasher split, same
+    ``shingles_col`` pre-computed-shingles contract as
+    :func:`decontaminate`."""
     if eval_text_col is None:
         eval_text_col = text_col
-    if hasher == "native":
-        def hash_fn(s: Column) -> Column:
-            return F.xxhash64(s)
-    else:
-        hash_fn = hash32
 
-    def shingle_hashes(c: Column) -> Column:
-        return F.coalesce(
-            F.transform(word_shingles(c, k), hash_fn),
-            F.array().cast("array<long>"),
-        )
-
-    corpus = df.select(
-        F.col(id_col),
-        F.explode(shingle_hashes(F.col(text_col))).alias("_h"),
-    )
+    shs = (F.col(shingles_col) if shingles_col is not None
+           else _shingle_hashes(F.col(text_col), k, hasher))
+    corpus = df.select(F.col(id_col), F.explode(shs).alias("_h"))
     ev = (
         eval_df.select(
             F.col(eval_id_col),
-            F.explode(shingle_hashes(F.col(eval_text_col))).alias("_h"),
+            F.explode(
+                _shingle_hashes(F.col(eval_text_col), k, hasher)
+            ).alias("_h"),
         )
         .distinct()
     )

@@ -77,7 +77,13 @@ def url_filter(
     blk = F.regexp_replace(F.lower(F.col(key_col)), r"\.$", "")
     if by == "domain":
         blk = registered_domain(blk)
-    bl = blocklist.select(blk.alias("_blk")).distinct()
+    # drop entries that reduce to '' (blank lines; dotless entries like
+    # 'localhost' under by='domain', where registered_domain needs a
+    # dot): the corpus side maps every unparseable URL and single-label
+    # host to '' too, so one stray '' entry would equi-join — and block
+    # — ALL of them (r6 self-review)
+    bl = (blocklist.select(blk.alias("_blk"))
+          .where(F.length("_blk") > 0).distinct())
     host = url_host(F.col(url_col))
     out = df.withColumn("host", host).withColumn(
         "domain", registered_domain(F.col("host"))).withColumn(

@@ -1324,6 +1324,19 @@ def test_url_ops_and_filter(spark):
         by="domain").collect()}
     assert host_entry[2] is True and host_entry[3] is True
 
+    # a dotless entry ('localhost') or blank line reduces to '' under
+    # by='domain' — it must NOT equi-join the '' domain of garbage /
+    # single-label-host rows (r6 self-review: one stray entry used to
+    # block every unparseable URL in the corpus)
+    messy = {r["doc_id"]: r["blocked"] for r in url_filter(
+        df, spark.createDataFrame(
+            [("localhost",), ("",), ("badsite.net",)], "e string"),
+        by="domain").collect()}
+    assert messy == blocked  # the two degenerate entries are inert
+    # ... and no duplicate rows from the extra entries
+    assert url_filter(df, spark.createDataFrame(
+        [("localhost",), ("",)], "e string"), by="domain").count() == 7
+
     with pytest.raises(ValueError):
         url_filter(df, bl, by="tld")
 

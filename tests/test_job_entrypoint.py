@@ -287,6 +287,19 @@ def test_curate_job_decontam_and_pack_stages(spark, tmp_path, capsys):
     assert m["packed_docs"] == len(kept)
     assert m["n_seqs"] >= 1 and 0.0 < m["fill_rate"] <= 1.0
 
+    # idempotency key is parameter-sensitive (r6 self-review): the SAME
+    # argv is skipped, but changing a kept-set-affecting parameter
+    # (here the decontam threshold) is a NEW run, not a stale skip
+    curate_corpus_job.main(argv)
+    rerun = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rerun.get("skipped") is True
+    changed_argv = list(argv)
+    changed_argv[changed_argv.index("--decontam-min-overlap") + 1] = "3"
+    curate_corpus_job.main(changed_argv)
+    changed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert changed.get("skipped") is not True
+    assert changed["rows_decided"] == 50
+
 
 def test_decontaminate_job_pairs_sink(spark, tmp_path, capsys):
     """r6: --pairs writes the leak-attribution rows naming which eval

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -126,3 +127,44 @@ def test_validate_column_filter_non_errors_plumbed(spark):
     assert rows[2] == "no match"  # bare null vs Number (not an object field)
     dropped = validate_column(df, "v", sch, keys=["id"]).violations
     assert dropped.count() == 1
+
+
+def test_repetition_oracle_null_text_parity(spark, tmp_path):
+    """r6 self-review: the repetition_stats DuckDB twin returned NULL
+    fractions for NULL text while the engine returns 0.0 — latent only
+    because the sf documents tables carry no NULL text. Replay both
+    sides over a mini corpus WITH planted NULL/blank text."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s", 16),
+        (5, "line one\nline two", "en", "s", 17),   # %5: doubled linewise
+        (9, "repeat me twice", "en", "s", 15),      # %9: doubled wordwise
+        (2, None, "en", "s", 0),                    # planted NULL text
+        (3, "", "en", "s", 0),                      # planted blank text
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: (r["dup_word_frac"], r["dup_line_frac"])
+           for r in entry.queries()["repetition_stats"](
+               spark, str(tmp_path)).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')")
+    exp = {r[0]: (r[1], r[2])
+           for r in con.execute(
+               entry.oracle_sql()["repetition_stats"]).fetchall()}
+
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k][0] == pytest.approx(exp[k][0], abs=1e-9), k
+        assert got[k][1] == pytest.approx(exp[k][1], abs=1e-9), k
+    assert got[2] == (0.0, 0.0) and got[3] == (0.0, 0.0)
