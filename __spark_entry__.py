@@ -931,6 +931,24 @@ def q_vocab_stats(spark, sf):
     return vocab_stats(d, "text", "doc_id", top_k=50)
 
 
+def q_vocab_drift(spark, sf):
+    """Corpus-snapshot vocabulary drift (r6): JS-divergence term table
+    between the even-id and odd-id halves of the corpus, with drift
+    PLANTED (every 7th odd doc gains a marker term) since the halves
+    are otherwise distribution-identical. Pooled top-100 terms; the
+    oracle replays the identical smoothing/renormalization/ln math."""
+    from schisma_spark.functions.text import vocab_drift
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    a = d.where(F.col("doc_id") % 2 == 0).select("text")
+    b = (d.where(F.col("doc_id") % 2 == 1)
+         .select(F.when(F.col("doc_id") % 7 == 0,
+                        F.concat(F.col("text"),
+                                 F.lit(" zqdrift zqdrift zqdrift")))
+                 .otherwise(F.col("text")).alias("text")))
+    return vocab_drift(a, b, "text", top_n=100)
+
+
 def q_weighted_sample(spark, sf):
     """Deterministic mixture-reweighting sample (r6): per-source keep
     probabilities via the portable id-hash uniform — src0 dropped, three
@@ -999,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": q_packing_stats,
         "pack_greedy": q_pack_greedy,
         "vocab_stats": q_vocab_stats,
+        "vocab_drift": q_vocab_drift,
         "weighted_sample": q_weighted_sample,
         "decontaminate_pairs": q_decontaminate_pairs,
         "url_filter": q_url_filter,
@@ -2176,6 +2195,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, tf, df_docs FROM a
             ORDER BY tf DESC, term LIMIT 50
+        """,
+        # vocab_drift twin (r6): same words() split, pooled top-100 by
+        # combined tf (term tiebreak), identical add-0.5 smoothing /
+        # renormalization / natural-log JS math; ln may differ from
+        # Java's Math.log by 1 ulp, absorbed by the round-9
+        "vocab_drift": f"""
+            WITH a AS (
+              SELECT text FROM documents WHERE doc_id % 2 = 0
+            ),
+            b AS (
+              SELECT CASE WHEN doc_id % 7 = 0
+                          THEN text || ' zqdrift zqdrift zqdrift'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            ta AS (
+              SELECT term, count(*)::bigint AS tf_a
+              FROM (SELECT unnest({_WORDS}) AS term FROM a) GROUP BY term
+            ),
+            tb AS (
+              SELECT term, count(*)::bigint AS tf_b
+              FROM (SELECT unnest({_WORDS}) AS term FROM b) GROUP BY term
+            ),
+            pooled AS (
+              SELECT term, coalesce(tf_a, 0)::bigint AS tf_a,
+                     coalesce(tf_b, 0)::bigint AS tf_b
+              FROM ta FULL OUTER JOIN tb USING (term)
+              ORDER BY coalesce(tf_a, 0) + coalesce(tf_b, 0) DESC, term
+              LIMIT 100
+            ),
+            tot AS (
+              SELECT sum(tf_a)::double AS sta, sum(tf_b)::double AS stb,
+                     count(*)::double AS n
+              FROM pooled
+            )
+            SELECT term, tf_a, tf_b,
+                   round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+                   round((pa * ln(pa / ((pa + pb) / 2.0))
+                          + pb * ln(pb / ((pa + pb) / 2.0))) / 2.0, 9)
+                     AS js_contrib
+            FROM (
+              SELECT term, tf_a, tf_b,
+                     (tf_a + 0.5) / (sta + 0.5 * n) AS pa,
+                     (tf_b + 0.5) / (stb + 0.5 * n) AS pb
+              FROM pooled, tot
+            )
         """,
         # weighted_sample twin (r6): identical portable hash threshold
         "weighted_sample": f"""

@@ -334,8 +334,8 @@ def main():
         "decontaminate", "strip_boilerplate",
         "pii_redaction", "repetition_stats",
         "pack_sequences", "pack_greedy",
-        "vocab_stats", "weighted_sample", "decontaminate_pairs",
-        "url_filter", "hash_split",
+        "vocab_stats", "vocab_drift", "weighted_sample",
+        "decontaminate_pairs", "url_filter", "hash_split",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

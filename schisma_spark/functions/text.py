@@ -274,3 +274,63 @@ def vocab_stats(df, text_col: str = "text", id_col: str = "doc_id",
     return (agg.orderBy(F.desc("tf"), F.asc("term")).limit(top_k)
             .select("term", F.col("tf").cast("long").alias("tf"),
                     F.col("df_docs").cast("long").alias("df_docs")))
+
+
+def vocab_drift(df_a, df_b, text_col: str = "text", top_n: int = 100,
+                smooth: float = 0.5):
+    """Term-distribution DRIFT between two corpus snapshots (r6) — the
+    text-payload sibling of the numeric drift family (checks/drift.py):
+    did the vocabulary of the corpus shift between ingest batches /
+    crawl snapshots? One row per term of the POOLED top ``top_n`` (by
+    ``tf_a + tf_b``, term as deterministic tiebreak): ``term, tf_a,
+    tf_b, p_a, p_b, js_contrib`` where ``p_*`` are add-``smooth``
+    probabilities renormalized over the selected terms and
+    ``js_contrib`` (natural log, always >= 0 by the log-sum inequality)
+    sums to the Jensen-Shannon divergence of the two renormalized
+    distributions. Smoothing keeps terms absent from one side finite,
+    so new/vanished vocabulary shows up instead of blowing up.
+
+    Scale shape: each snapshot explodes to narrow (term) rows and
+    aggregates with map-side partials — O(corpus tokens) but never
+    wider than a term; the two vocab tables full-outer-join on term
+    (vocab-sized, ~10^6-10^8 rows at web scale — fine to shuffle), the
+    top-n is TakeOrdered (per-partition top-k merged on the driver, no
+    global sort task), and the divergence math runs over the <= top_n
+    selected rows crossJoined with a ONE-row totals frame (the tiny
+    sketch-frame pattern — bounded by construction, AQE broadcasts).
+    Same ``words()`` normalization as the dedup/vocab family; NULL and
+    blank texts contribute zero terms on both engines."""
+    from schisma_spark.functions.dedup import words
+
+    def tf(df, alias: str):
+        return (
+            df.select(F.explode(words(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    pooled = (
+        tf(df_a, "tf_a").join(tf(df_b, "tf_b"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("tf_a", F.lit(0)).cast("long").alias("tf_a"),
+            F.coalesce("tf_b", F.lit(0)).cast("long").alias("tf_b"),
+        )
+        .orderBy(F.desc(F.col("tf_a") + F.col("tf_b")), F.asc("term"))
+        .limit(top_n)
+    )
+    totals = pooled.agg(
+        F.sum("tf_a").alias("_ta"), F.sum("tf_b").alias("_tb"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    sm = F.lit(float(smooth))
+    p_a = (F.col("tf_a") + sm) / (F.col("_ta") + sm * F.col("_n"))
+    p_b = (F.col("tf_b") + sm) / (F.col("_tb") + sm * F.col("_n"))
+    m = (p_a + p_b) / F.lit(2.0)
+    js = (p_a * F.log(p_a / m) + p_b * F.log(p_b / m)) / F.lit(2.0)
+    return pooled.crossJoin(totals).select(
+        "term", "tf_a", "tf_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(js, 9).alias("js_contrib"),
+    )

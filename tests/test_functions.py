@@ -1184,6 +1184,49 @@ def test_vocab_stats_exact_counts(spark):
     assert [(r["term"], r["tf"]) for r in top1] == [("apple", 3)]
 
 
+def test_vocab_drift_js_divergence(spark):
+    """r6 vocab drift: exact tf per snapshot, smoothed renormalized
+    probabilities, per-term JS contributions that sum to the JSD and
+    rank the genuinely-drifting term first; NULL/blank docs inert."""
+    import math
+
+    from schisma_spark.functions.text import vocab_drift
+
+    a = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "cherry"), (3, None), (4, "")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "apple banana"), (2, "durian durian durian")],
+        "doc_id long, text string")
+    got = {r["term"]: r for r in vocab_drift(a, b, top_n=10).collect()}
+
+    tf_a = {"apple": 2, "banana": 1, "cherry": 1, "durian": 0}
+    tf_b = {"apple": 1, "banana": 1, "cherry": 0, "durian": 3}
+    assert {t: (r["tf_a"], r["tf_b"]) for t, r in got.items()} == {
+        t: (tf_a[t], tf_b[t]) for t in tf_a}
+
+    # replicate the smoothing/renormalization/ln math independently
+    n, sta, stb = 4, sum(tf_a.values()), sum(tf_b.values())
+    exp_js = {}
+    for t in tf_a:
+        pa = (tf_a[t] + 0.5) / (sta + 0.5 * n)
+        pb = (tf_b[t] + 0.5) / (stb + 0.5 * n)
+        m = (pa + pb) / 2.0
+        exp_js[t] = (pa * math.log(pa / m) + pb * math.log(pb / m)) / 2.0
+        assert got[t]["p_a"] == pytest.approx(pa, abs=1e-6)
+        assert got[t]["p_b"] == pytest.approx(pb, abs=1e-6)
+        assert got[t]["js_contrib"] == pytest.approx(exp_js[t], abs=1e-9)
+        assert got[t]["js_contrib"] >= 0.0
+    # the planted one-sided term dominates the divergence
+    assert max(exp_js, key=exp_js.get) == "durian"
+    assert sum(r["js_contrib"] for r in got.values()) == pytest.approx(
+        sum(exp_js.values()), abs=1e-8)
+
+    # top_n truncation keeps the pooled-count order (ties by term)
+    top2 = {r["term"] for r in vocab_drift(a, b, top_n=2).collect()}
+    assert top2 == {"apple", "durian"}  # pooled tf 3 each
+
+
 def test_weighted_sample_properties(spark):
     """r6 mixture reweighting: weight-0 stratum empty, weight-1 stratum
     whole, kept fraction tracks the weight, and shrinking a weight under
