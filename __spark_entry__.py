@@ -920,6 +920,37 @@ def q_url_filter(spark, sf):
                       "blocked")
 
 
+def q_domain_psl(spark, sf):
+    """PSL-aware registered-domain extraction (r6): hosts synthesized
+    with every rule kind planted — a two-level public suffix (doc%7),
+    a wildcard-suffix host (doc%5), a bare wildcard public suffix
+    (doc%3), the exception host (doc%11), a single-label host (doc%13),
+    NULL (doc 1) — against a literal demo PSL with comment/blank noise.
+    The oracle hand-derives the prevailing-rule outcomes independently
+    (no shared join logic)."""
+    from schisma_spark.functions.web import registered_domain_psl
+
+    did = F.col("doc_id")
+    host = (
+        F.when(did == 1, F.lit(None).cast("string"))
+        .when(did % 11 == 0, F.lit("www.ck"))
+        .when(did % 7 == 0,
+              F.concat(F.lit("sub."), F.col("source"),
+                       F.lit(".example.co.uk")))
+        .when(did % 5 == 0, F.concat(F.col("source"), F.lit(".bar.ck")))
+        .when(did % 3 == 0, F.lit("bar.ck"))
+        .when(did % 13 == 0, F.lit("localhost"))
+        .otherwise(F.concat(F.col("source"), F.lit(".goodhost.io")))
+    )
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "source")
+                .withColumn("host", host))
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",), ("*.ck",), ("!www.ck",),
+         ("io",), ("org",), ("// comment",), ("",)], "rule string")
+    out = registered_domain_psl(d, psl, "host")
+    return out.select("doc_id", "host", "domain_psl")
+
+
 def q_vocab_stats(spark, sf):
     """Corpus vocabulary table (r6): term + document frequency over the
     normalized whitespace token stream, top 50 by tf (term tiebreak).
@@ -1018,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "vocab_stats": q_vocab_stats,
         "vocab_drift": q_vocab_drift,
+        "domain_psl": q_domain_psl,
         "weighted_sample": q_weighted_sample,
         "decontaminate_pairs": q_decontaminate_pairs,
         "url_filter": q_url_filter,
@@ -2195,6 +2227,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, tf, df_docs FROM a
             ORDER BY tf DESC, term LIMIT 50
+        """,
+        # domain_psl twin (r6): INDEPENDENT derivation — the engine
+        # broadcast-joins a rule table; the twin hand-applies the
+        # prevailing-rule outcomes for the literal demo PSL over the
+        # same last-k-label suffix regexes
+        "domain_psl": """
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id = 1 THEN NULL
+                     WHEN doc_id % 11 = 0 THEN 'www.ck'
+                     WHEN doc_id % 7 = 0
+                       THEN 'sub.' || source || '.example.co.uk'
+                     WHEN doc_id % 5 = 0 THEN source || '.bar.ck'
+                     WHEN doc_id % 3 = 0 THEN 'bar.ck'
+                     WHEN doc_id % 13 = 0 THEN 'localhost'
+                     ELSE source || '.goodhost.io'
+                END AS host
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, host,
+                regexp_extract(host, '([^.]+)$', 1) AS s1,
+                regexp_extract(host, '((?:[^.]+\\.){1}[^.]+)$', 1) AS s2,
+                regexp_extract(host, '((?:[^.]+\\.){2}[^.]+)$', 1) AS s3
+              FROM src
+            )
+            SELECT doc_id, host,
+              CASE WHEN host IS NULL THEN NULL
+                   WHEN s2 = 'www.ck' THEN s2
+                   WHEN s2 = 'co.uk' THEN s3
+                   WHEN s1 = 'ck' AND s2 <> '' THEN s3
+                   ELSE s2 END AS domain_psl
+            FROM s
         """,
         # vocab_drift twin (r6): same words() split, pooled top-100 by
         # combined tf (term tiebreak), identical add-0.5 smoothing /

@@ -335,7 +335,8 @@ def main():
         "pii_redaction", "repetition_stats",
         "pack_sequences", "pack_greedy",
         "vocab_stats", "vocab_drift", "weighted_sample",
-        "decontaminate_pairs", "url_filter", "hash_split",
+        "decontaminate_pairs", "url_filter", "domain_psl",
+        "hash_split",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

@@ -45,8 +45,8 @@ def registered_domain(c: Column) -> Column:
     """Last two dot-labels of the host (``sub.a.example.com`` ->
     ``example.com``) — a Public-Suffix-List-FREE approximation, exact
     for generic TLDs and WRONG for two-level public suffixes like
-    ``.co.uk`` (documented: ship a PSL lookup table as a broadcast-join
-    dimension when that matters). '' host -> ''."""
+    ``.co.uk``; use :func:`registered_domain_psl` with a PSL dimension
+    table when that matters. '' host -> ''."""
     return F.regexp_extract(c, r"([^.]+\.[^.]+)$", 1)
 
 
@@ -94,3 +94,121 @@ def url_filter(
         .withColumn("blocked", F.col("_blk").isNotNull())
         .drop("_blk")
     )
+
+
+def _suffix_re(k: int) -> str:
+    """Regex capturing the last ``k`` dot-labels of a host (Java∩RE2:
+    bounded repetition only). '' when the host has fewer labels."""
+    return r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1)
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    psl: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain_psl",
+    max_rule_labels: int = 4,
+    strategy: str = "broadcast",  # broadcast | auto
+) -> DataFrame:
+    """Public-Suffix-List-aware registered domain — closes the
+    documented :func:`registered_domain` caveat (two-level public
+    suffixes like ``.co.uk``). ``psl``'s first column holds rules in
+    the publicsuffix.org list format: plain (``co.uk``), wildcard
+    (``*.ck``), exception (``!www.ck``); comment (``//...``) and blank
+    lines are ignored. Standard PSL semantics: exception rules prevail,
+    else the rule with the most labels, else the implicit ``*`` default
+    (public suffix = last label); the registered domain is the public
+    suffix plus one label, '' when the host IS a public suffix (or is
+    '' / garbage), NULL for NULL hosts.
+
+    Scale shape (the 100-TB story): every rule kind reduces to an exact
+    match of the host's last-``k``-labels suffix against a key — plain
+    ``co.uk`` is key ``co.uk`` at depth 2; wildcard ``*.ck`` is key
+    ``ck`` at depth 1 plus a has-one-more-label condition; exception
+    ``!www.ck`` is key ``www.ck`` at depth 2 yielding one label less.
+    So the corpus side computes ``max_rule_labels + 2`` suffix
+    projections (plain regexes) and LEFT-JOINs the per-depth slice of
+    the aggregated rule table — each a broadcast hash join of a
+    ~10^4-row dim, with ZERO shuffles of the corpus and no
+    explode/re-aggregate round trip. ``strategy='broadcast'`` (default,
+    the checks/referential.py dimension-table convention: the real PSL
+    is bounded at ~10^4 lines, and without the hint the planner's
+    pre-AQE SortMergeJoin candidate can launch a wasted corpus shuffle
+    stage before AQE re-plans); ``'auto'`` defers to AQE. All other
+    columns of ``df`` pass through."""
+    if strategy not in ("broadcast", "auto"):
+        raise ValueError(
+            f"strategy must be 'broadcast' or 'auto', got {strategy!r}")
+    rule_col = psl.columns[0]
+    rule = F.lower(F.trim(F.col(rule_col)))
+    is_exc = F.substring(rule, 1, 1) == "!"
+    is_wild = F.substring(rule, 1, 2) == "*."
+    key = F.regexp_replace(rule, r"^(!|\*\.)", "")
+    dim = (
+        psl.select(
+            key.alias("_k"),
+            F.when(is_exc, F.lit("e"))
+            .when(is_wild, F.lit("w"))
+            .otherwise(F.lit("p")).alias("_kind"),
+        )
+        .where((F.col("_k") != "") & ~F.col("_k").startswith("//"))
+        .groupBy("_k")
+        .agg(
+            F.max(F.col("_kind") == "e").alias("_e"),
+            F.max(F.col("_kind") == "p").alias("_p"),
+            F.max(F.col("_kind") == "w").alias("_w"),
+        )
+        .withColumn("_kl", F.size(F.split(F.col("_k"), r"\.")))
+    )
+
+    host = F.lower(F.col(host_col))
+    out = df
+    n_suffix = max_rule_labels + 2
+    for k in range(1, n_suffix + 1):
+        out = out.withColumn(
+            f"_s{k}", F.regexp_extract(host, _suffix_re(k), 1))
+    for k in range(1, max_rule_labels + 1):
+        d_k = dim.where(F.col("_kl") == k).select(
+            F.col("_k").alias(f"_k{k}"),
+            F.col("_e").alias(f"_e{k}"),
+            F.col("_p").alias(f"_p{k}"),
+            F.col("_w").alias(f"_w{k}"),
+        )
+        if strategy == "broadcast":
+            d_k = F.broadcast(d_k)
+        out = out.join(
+            d_k, out[f"_s{k}"] == d_k[f"_k{k}"], "left")
+
+    def flag(name: str, k: int):
+        # unmatched join rows are NULL; treat as False
+        return F.coalesce(F.col(f"_{name}{k}"), F.lit(False))
+
+    # prevailing rule: exceptions first (longest first), then most
+    # labels (plain at depth L and wildcard at depth L-1 both have L
+    # rule labels), then the implicit '*' default
+    ps = F.lit(None).cast("int")
+    cases = []
+    for k in range(max_rule_labels, 0, -1):          # exceptions
+        cases.append((flag("e", k), k - 1))
+    for L in range(max_rule_labels + 1, 0, -1):      # plain + wild
+        if L <= max_rule_labels:
+            cases.append((flag("p", L), L))
+        if L >= 2:
+            cases.append(
+                (flag("w", L - 1) & (F.col(f"_s{L}") != ""), L))
+    expr = F.lit(1)                                   # implicit '*'
+    for cond, val in reversed(cases):
+        expr = F.when(cond, F.lit(val)).otherwise(expr)
+    ps = expr
+
+    dom = F.lit("")
+    for v in range(max_rule_labels + 1, 0, -1):
+        dom = F.when(ps == v, F.col(f"_s{v + 1}")).otherwise(dom)
+    dom = F.when(F.col(host_col).isNull(),
+                 F.lit(None).cast("string")).otherwise(dom)
+
+    drop = [f"_s{k}" for k in range(1, n_suffix + 1)] + [
+        f"_{nm}{k}" for k in range(1, max_rule_labels + 1)
+        for nm in ("k", "e", "p", "w")
+    ]
+    return out.withColumn(out_col, dom).drop(*drop)

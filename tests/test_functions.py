@@ -1384,6 +1384,51 @@ def test_url_ops_and_filter(spark):
         url_filter(df, bl, by="tld")
 
 
+def test_registered_domain_psl(spark):
+    """r6 PSL-aware registered domain: plain/wildcard/exception rule
+    kinds, prevailing-rule order, implicit '*' default, public-suffix
+    hosts yield '', comments/blank/case-noise in the list are inert —
+    and the corpus side never shuffles (broadcast joins only)."""
+    from schisma_spark.functions.web import registered_domain_psl
+
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",), ("*.ck",), ("!www.ck",),
+         ("org",), ("// comment",), ("",), ("COM",)], "rule string")
+    cases = [
+        ("example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("sub.a.example.co.uk", "example.co.uk"),   # 2-level suffix
+        ("foo.bar.ck", "foo.bar.ck"),               # wildcard *.ck
+        ("www.ck", "www.ck"),                       # exception !www.ck
+        ("bar.ck", ""),                             # IS a public suffix
+        ("co.uk", ""),                              # IS a public suffix
+        ("unknown.tld", "unknown.tld"),             # implicit '*'
+        ("tld", ""),                                # single label
+        ("", ""),
+        (None, None),
+        ("a.b.c.d.e.example.com", "example.com"),   # deep subdomain
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    out = registered_domain_psl(df, psl)
+    got = {r["host"]: r["domain_psl"] for r in out.collect()}
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+    # scale shape: per-depth broadcast joins, never a corpus shuffle —
+    # the default dimension-table hint keeps even the pre-AQE plan free
+    # of SortMergeJoin candidates (whose corpus shuffle stage can launch
+    # before AQE re-plans)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 'auto' (AQE) produces identical values
+    auto = {r["host"]: r["domain_psl"] for r in registered_domain_psl(
+        df, psl, strategy="auto").collect()}
+    assert auto == got
+    with pytest.raises(ValueError):
+        registered_domain_psl(df, psl, strategy="shuffle_hash")
+
+
 def test_hash_split_stability_and_fractions(spark):
     """r6: split labels track the fractions, are stable under corpus
     GROWTH (old rows never move), and a bad fraction sum raises."""
