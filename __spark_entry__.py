@@ -962,6 +962,30 @@ def q_vocab_stats(spark, sf):
     return vocab_stats(d, "text", "doc_id", top_k=50)
 
 
+def q_corpus_diff(spark, sf):
+    """Corpus snapshot diff (r6): snapshot A is the documents table;
+    snapshot B drops every 13th doc (removed), rewrites every 7th
+    (changed), NULLs the text of every 17th surviving doc (changed via
+    the NULL-safe fingerprint compare), and appends fresh ids for every
+    11th doc (added). Status counts are fully planted; the oracle
+    replays the same edits over the portable fingerprint macro."""
+    from schisma_spark.functions.curate import corpus_diff
+
+    did = F.col("doc_id")
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    a = d
+    surv = (d.where(did % 13 != 0)
+            .select("doc_id",
+                    F.when(did % 7 == 0,
+                           F.concat(F.lit("edited: "), F.col("text")))
+                    .when(did % 17 == 0, F.lit(None).cast("string"))
+                    .otherwise(F.col("text")).alias("text")))
+    fresh = (d.where(did % 11 == 0)
+             .select((did + 10_000_000).alias("doc_id"), "text"))
+    b = surv.unionByName(fresh)
+    return corpus_diff(a, b, "text", "doc_id")
+
+
 def q_vocab_drift(spark, sf):
     """Corpus-snapshot vocabulary drift (r6): JS-divergence term table
     between the even-id and odd-id halves of the corpus, with drift
@@ -1050,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "vocab_drift": q_vocab_drift,
         "domain_psl": q_domain_psl,
+        "corpus_diff": q_corpus_diff,
         "weighted_sample": q_weighted_sample,
         "decontaminate_pairs": q_decontaminate_pairs,
         "url_filter": q_url_filter,
@@ -2227,6 +2252,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, tf, df_docs FROM a
             ORDER BY tf DESC, term LIMIT 50
+        """,
+        # corpus_diff twin (r6): same planted edits over the portable
+        # fingerprint macro; NULL-safe compare via IS DISTINCT FROM
+        "corpus_diff": f"""
+            WITH a AS (
+              SELECT doc_id, {_FP.format(x='text')} AS fp_a
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                       THEN {_FP.format(x="'edited: ' || text")}
+                     WHEN doc_id % 17 = 0 THEN NULL
+                     ELSE {_FP.format(x='text')} END AS fp_b
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id,
+                     {_FP.format(x='text')} AS fp_b
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+              CASE WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'removed'
+                   WHEN fp_a IS DISTINCT FROM fp_b THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              fp_a, fp_b
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         """,
         # domain_psl twin (r6): INDEPENDENT derivation — the engine
         # broadcast-joins a rule table; the twin hand-applies the

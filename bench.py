@@ -336,7 +336,7 @@ def main():
         "pack_sequences", "pack_greedy",
         "vocab_stats", "vocab_drift", "weighted_sample",
         "decontaminate_pairs", "url_filter", "domain_psl",
-        "hash_split",
+        "hash_split", "corpus_diff",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

@@ -358,3 +358,47 @@ def hash_split(
     for name, edge in reversed(conds):
         expr = F.when(u < F.lit(edge), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def corpus_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-level DIFF between two corpus snapshots (r6) — the
+    operational sibling of text.vocab_drift's content-level view: what
+    changed between ingest batches / crawl snapshots? One row per id
+    present in either snapshot: ``id_col, status, fp_a, fp_b`` with
+    ``status`` in ``added`` (only in B), ``removed`` (only in A),
+    ``changed`` (both, content fingerprints differ — NULL-safe, so
+    text appearing or disappearing counts as a change), ``unchanged``.
+
+    Scale shape: each side reduces to narrow (id, fingerprint) rows
+    before the full-outer join on id — one shuffle per side, the
+    honest minimum for an id-aligned comparison; when both snapshots
+    are stored bucketed by id (sources.py catalog writes), the join
+    plans exchange-free (see jobs/violation_history_job.py for the
+    runtime-asserted pattern). Text bytes never shuffle."""
+    a = df_a.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp_a"),
+        F.lit(True).alias("_in_a"),
+    )
+    b = df_b.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp_b"),
+        F.lit(True).alias("_in_b"),
+    )
+    j = a.join(b, id_col, "full_outer")
+    in_a = F.coalesce(F.col("_in_a"), F.lit(False))
+    in_b = F.coalesce(F.col("_in_b"), F.lit(False))
+    status = (
+        F.when(~in_a, F.lit("added"))
+        .when(~in_b, F.lit("removed"))
+        .when(~F.col("fp_a").eqNullSafe(F.col("fp_b")),
+              F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status"),
+                    "fp_a", "fp_b")

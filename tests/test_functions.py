@@ -1461,3 +1461,24 @@ def test_hash_split_stability_and_fractions(spark):
     labs = [r["split"] for r in hash_split(nid, fr).collect()
             if r["doc_id"] is None]
     assert len(labs) == 2 and len(set(labs)) == 1
+
+
+def test_corpus_diff_statuses(spark):
+    """r6: corpus_diff labels every planted edit class correctly,
+    including the NULL-safe fingerprint compare (text -> NULL and
+    NULL -> text are both 'changed', NULL == NULL is 'unchanged')."""
+    from schisma_spark.functions.curate import corpus_diff
+
+    a = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None), (5, None)],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (4, None), (5, "revived"),
+         (6, "brand new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(a, b, "text", "doc_id").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "changed", 6: "added"}
+    # exactly one row per id in either snapshot
+    assert len(got) == 6
