@@ -1019,6 +1019,43 @@ def q_weighted_sample(spark, sf):
     return out.select("doc_id", "source", "lang")
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental ingest dedup (r6): the production shape — a new batch
+    checked against the EXISTING corpus via its persisted signature
+    table, never rescanning corpus text. Corpus = every 3rd doc, signed
+    with the aggregate signature-table path (keep_empty sentinels left
+    in to exercise the band-table prune). Batch plants all decision
+    paths: verbatim corpus copies (doc_id%21 — a subset of the corpus
+    ids, est_jac 1.0), fresh non-corpus docs (%3==1 ∧ %7==0), and
+    NULL-text rows (%3==2 ∧ %11==0 — pruned pre-banding, keep=true).
+    Verification is the unbiased MinHash estimator (agreeing positions /
+    16) since corpus text is unavailable by design; the oracle replays
+    signatures, banding, and the positional estimate bit-exactly."""
+    from schisma_spark.functions.dedup import (
+        incremental_dedup, minhash_signatures_df,
+    )
+
+    did = F.col("doc_id")
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    corpus = fan_out(d.where(did % 3 == 0))
+    batch = (
+        d.where(did % 21 == 0)
+        .select((did + 10_000_000).alias("doc_id"), "text")
+        .unionByName(
+            d.where((did % 3 == 1) & (did % 7 == 0))
+            .select((did + 20_000_000).alias("doc_id"), "text"))
+        .unionByName(
+            d.where((did % 3 == 2) & (did % 11 == 0))
+            .select((did + 30_000_000).alias("doc_id"),
+                    F.lit(None).cast("string").alias("text")))
+    )
+    corpus_sigs = minhash_signatures_df(
+        corpus, "text", "doc_id", shingle_k=3, n_hashes=16,
+        hasher="portable", keep_empty=True)
+    return incremental_dedup(batch, corpus_sigs, "text", "doc_id",
+                             hasher="portable", min_est_jac=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lineitem": q_stats_lineitem,
@@ -1075,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "domain_psl": q_domain_psl,
         "corpus_diff": q_corpus_diff,
+        "incremental_dedup": q_incremental_dedup,
         "weighted_sample": q_weighted_sample,
         "decontaminate_pairs": q_decontaminate_pairs,
         "url_filter": q_url_filter,
@@ -1433,6 +1471,80 @@ def oracle_sql() -> dict[str, str]:
     """
 
     near_dups_sql = _near_dups_sql_for("documents")
+
+    # incremental_dedup twin: corpus signed + banded from its text (the
+    # engine's persisted signature table is derived the same way), batch
+    # signed + banded, equi-join on the band key, positional-agreement
+    # estimator (sum of 16 equality terms / 16.0 — the engine's exact
+    # arithmetic), min/max decision aggregate, left join back to the
+    # batch for the one-row-per-input contract
+    def _inc_bands(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, ('0x'||substr(md5("
+            + "||','||".join(f"sig[{b * 4 + r + 1}]::varchar"
+                             for r in range(4))
+            + f"),1,8))::int64 AS band_hash FROM {src}"
+            for b in range(4)
+        )
+
+    inc_est = "(" + " + ".join(
+        f"CASE WHEN bs.sig[{j + 1}] = cs.sig[{j + 1}] THEN 1 ELSE 0 END"
+        for j in range(16)
+    ) + f")::double / 16.0"
+
+    incremental_dedup_sql = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        ),
+        batch AS (
+          SELECT doc_id + 10000000 AS doc_id, text FROM documents
+          WHERE doc_id % 21 = 0
+          UNION ALL
+          SELECT doc_id + 20000000, text FROM documents
+          WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 30000000, NULL FROM documents
+          WHERE doc_id % 3 = 2 AND doc_id % 11 = 0
+        ),
+        cdocs AS (
+          SELECT doc_id, list_transform({_SHINGLES3}, s ->
+            ('0x'||substr(md5(s),1,8))::int64) AS bh
+          FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)
+        ),
+        csigs AS (SELECT doc_id, [{nd_sig}] AS sig FROM cdocs),
+        bdocs AS (
+          SELECT doc_id, list_transform({_SHINGLES3}, s ->
+            ('0x'||substr(md5(s),1,8))::int64) AS bh
+          FROM (SELECT doc_id, w FROM
+                (SELECT doc_id, {_WORDS} AS w FROM batch)
+                WHERE len(w) >= 3)
+        ),
+        bsigs AS (SELECT doc_id, [{nd_sig}] AS sig FROM bdocs),
+        cvalid AS (SELECT * FROM csigs WHERE sig[1] < {MINHASH_P}),
+        cband AS ({_inc_bands('cvalid')}),
+        bband AS ({_inc_bands('bsigs')}),
+        cands AS (
+          SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM bband b JOIN cband c
+            ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+        ),
+        matches AS (
+          SELECT new_id, corpus_id, {inc_est} AS est
+          FROM cands
+          JOIN bsigs bs ON bs.doc_id = new_id
+          JOIN csigs cs ON cs.doc_id = corpus_id
+          WHERE est >= 0.5
+        ),
+        best AS (
+          SELECT new_id, min(corpus_id) AS dup_of, max(est) AS est_jac
+          FROM matches GROUP BY new_id
+        )
+        SELECT b.doc_id::bigint AS new_id,
+               (best.dup_of IS NULL) AS keep,
+               best.dup_of::bigint AS dup_of,
+               best.est_jac AS est_jac
+        FROM batch b LEFT JOIN best ON best.new_id = b.doc_id
+    """
 
     # connected components over the SAME minhash near-dup pairs,
     # recomputed independently via recursive transitive closure;
@@ -1892,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
                     NOT IN ('DOUBLE', 'BIGINT', 'UBIGINT', 'NULL')
         """,
         "minhash_near_dups": near_dups_sql,
+        "incremental_dedup": incremental_dedup_sql,
         "dedup_clusters": dedup_clusters_sql,
         # the pointer-jumping engine variant must land on the IDENTICAL
         # fixpoint — same oracle verbatim (the hash gate IS the proof)

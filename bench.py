@@ -336,7 +336,7 @@ def main():
         "pack_sequences", "pack_greedy",
         "vocab_stats", "vocab_drift", "weighted_sample",
         "decontaminate_pairs", "url_filter", "domain_psl",
-        "hash_split", "corpus_diff",
+        "hash_split", "corpus_diff", "incremental_dedup",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (
@@ -354,6 +354,27 @@ def main():
         "minhash_near_dups_native",
         lambda: _mnd(docs_sf, "text", "doc_id", threshold=0.2,
                      n_hashes=16, bands=4, hasher="native").collect(),
+    )
+    # incremental ingest dedup, production shape: the corpus is represented
+    # by its PERSISTED native signature table (built once outside the
+    # timer, as a real deployment would); the timed run signs a 1% batch
+    # and joins it against the stored index — the cost that recurs per
+    # ingest, independent of corpus text
+    from schisma_spark.functions.dedup import (
+        incremental_dedup as _incd, minhash_signatures_df as _msd,
+    )
+
+    sig_path = os.path.join(CACHE, "corpus_sigs_native_16")
+    if not os.path.isdir(sig_path):
+        _msd(docs_sf, "text", "doc_id", n_hashes=16, hasher="native",
+             keep_empty=False).write.mode("overwrite").parquet(sig_path)
+    corpus_sigs_p = spark.read.parquet(sig_path)
+    inc_batch = docs_sf.where(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    timed(
+        "incremental_dedup_native",
+        lambda: _incd(inc_batch, corpus_sigs_p, "text", "doc_id",
+                      hasher="native", min_est_jac=0.5).collect(),
     )
     # native 64-bit simhash near-dups: the production wide-banding path
     # (full xxhash64 signature, no md5 hex round-trip)

@@ -547,6 +547,175 @@ def minhash_near_dups(
     )
 
 
+def lsh_band_table(sigs: DataFrame, id_col: str = "doc_id",
+                   sig_col: str = "sig", bands: int = 4,
+                   rows: int = 4, sentinel: int = H32_SENTINEL) -> DataFrame:
+    """The persistable LSH index: ``id_col, band_idx, band_hash`` from a
+    materialized signature table (``minhash_signatures_df`` output). This
+    is the artifact a production corpus stores next to the signatures —
+    incremental batches join against IT instead of re-signing 10^12 docs.
+
+    All-sentinel signatures (empty shingle set: NULL/blank/< k words) are
+    pruned here: every such doc worldwide shares one signature, so they
+    form a single degenerate bucket that matches every other empty doc
+    with estimated Jaccard 1.0 while the true Jaccard is 0 — at web scale
+    that bucket is O(N_empty) rows and any join against it goes
+    quadratic. ``sig[1]`` alone decides emptiness: both hash families
+    produce values strictly below their sentinel, so the sentinel
+    survives position 1 iff no shingle existed. ``sentinel`` must match
+    the family that built the signatures — ``H32_SENTINEL`` (default)
+    for 'native', ``MINHASH_P`` for 'portable' (portable values reach
+    MINHASH_P-1 > 2^32, so the native sentinel would mis-prune the
+    ~15/2^32 sliver of legitimate portable minima above 2^32).
+
+    Scale shape: one narrow projection + explode of (id, band_idx,
+    band_hash) — no shuffle. Write it bucketed by ``band_hash``
+    (``.write.bucketBy(n, 'band_hash')``) and the incremental join
+    shuffles ONLY the new batch."""
+    sig = F.col(sig_col)
+    return (
+        sigs.where(F.element_at(sig, 1) < F.lit(sentinel))
+        .select(
+            F.col(id_col),
+            F.posexplode(lsh_band_keys(sig, bands, rows))
+            .alias("band_idx", "band_hash"),
+        )
+    )
+
+
+def _sig_agreement(a: Column, b: Column, n_hashes: int) -> Column:
+    """Estimated Jaccard = fraction of agreeing minhash positions.
+    Deliberately HOF-free (n plain equality terms, whole-stage-codegen
+    eligible) — ``a``/``b`` are post-join attribute references, so the
+    n-fold textual repetition re-reads a column, it does not recompute an
+    expression (the bind() rule targets expression arguments)."""
+    terms = [
+        F.when(F.element_at(a, j + 1) == F.element_at(b, j + 1), 1).otherwise(0)
+        for j in range(n_hashes)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (total / F.lit(float(n_hashes))).cast("double")
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    corpus_id_col: str = "doc_id",
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    hasher: str = "portable",
+    min_est_jac: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup matches of a NEW batch against an EXISTING
+    corpus signature table: ``new_id, corpus_id, est_jac``.
+
+    The production shape at 10^12 docs: the corpus is never re-scanned —
+    it is represented by its persisted ``(id, sig)`` table (~8·n_hashes
+    bytes/doc, from ``minhash_signatures_df``), and each incoming batch
+    is signed, banded, and joined against the corpus band table. Because
+    corpus TEXT is unavailable by design, verification uses the unbiased
+    MinHash estimator (fraction of agreeing signature positions,
+    E[est] = true Jaccard) instead of exact shingle Jaccard —
+    ``min_est_jac`` is a threshold on that estimate; with 16 hashes its
+    std-err is ~0.125 at jac 0.5, so use it as a candidate gate, not a
+    precision cut.
+
+    Plan shape: batch side = one projection (sign) + one explode (band);
+    corpus side = ``lsh_band_table`` (explode only, empty-sig pruned);
+    candidates = equi-join on (band_idx, band_hash) — never cartesian;
+    verify = one join back to each side's signatures + n codegen'd
+    equality terms. Shuffle = O((batch + corpus) · bands) narrow rows,
+    and the corpus-side shuffle disappears entirely when the band table
+    is stored bucketed by band_hash. Empty-shingle batch docs are pruned
+    pre-banding (no pair involving one can reach a positive TRUE
+    Jaccard; mirrors ``minhash_near_dups``'s threshold>0 prune)."""
+    rows = n_hashes // bands
+    sentinel = MINHASH_P if hasher == "portable" else H32_SENTINEL
+    new_sigs = (
+        new_df.where(F.size(words(F.col(text_col))) >= shingle_k)
+        .select(
+            F.col(id_col).alias("_new_id"),
+            minhash_signature(word_shingles(F.col(text_col), shingle_k),
+                              n_hashes, hasher=hasher).alias("_nsig"),
+        )
+    )
+    new_banded = new_sigs.select(
+        "_new_id",
+        F.posexplode(lsh_band_keys(F.col("_nsig"), bands, rows))
+        .alias("band_idx", "band_hash"),
+    )
+    corpus_banded = lsh_band_table(
+        corpus_sigs, id_col=corpus_id_col, bands=bands, rows=rows,
+        sentinel=sentinel,
+    ).withColumnRenamed(corpus_id_col, "_corpus_id")
+    corpus_banded = cap_bucket_size(
+        corpus_banded, ["band_idx", "band_hash"], "_corpus_id",
+        max_bucket_size)
+    cands = (
+        new_banded.join(corpus_banded, on=["band_idx", "band_hash"])
+        .select("_new_id", "_corpus_id")
+        .distinct()
+    )
+    csigs = corpus_sigs.select(
+        F.col(corpus_id_col).alias("_corpus_id"), F.col("sig").alias("_csig"))
+    return (
+        cands.join(new_sigs, "_new_id")
+        .join(csigs, "_corpus_id")
+        .select(
+            F.col("_new_id").alias("new_id"),
+            F.col("_corpus_id").alias("corpus_id"),
+            _sig_agreement(F.col("_nsig"), F.col("_csig"), n_hashes)
+            .alias("est_jac"),
+        )
+        .where(F.col("est_jac") >= min_est_jac)
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Per-new-doc ingest decision against an existing corpus:
+    ``new_id, keep, dup_of, est_jac`` — EXACTLY one row per input batch
+    row (the curation-decision contract; NULL/blank/short docs that the
+    near-dup stage prunes come back with keep=true, dup_of NULL).
+
+    ``dup_of`` = the smallest corpus id among matches clearing
+    ``min_est_jac`` (deterministic canonical), ``est_jac`` = the best
+    estimate over those matches; keep = no match. Composable with
+    batch-internal dedup: run ``minhash_near_dups`` + ``connected_
+    components`` WITHIN the batch first, then this against the corpus —
+    the two prunes are independent.
+
+    Scale: the matches frame is bounded by actual contamination; the
+    final left join shuffles (id, match) pairs only."""
+    matches = incremental_near_dups(new_df, corpus_sigs, text_col, id_col,
+                                    **kwargs)
+    best = matches.groupBy("new_id").agg(
+        F.min("corpus_id").alias("dup_of"),
+        F.max("est_jac").alias("est_jac"),
+    )
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "est_jac",
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

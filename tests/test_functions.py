@@ -1018,6 +1018,46 @@ def test_minhash_signatures_df_matches_projection(spark):
         assert agg_ne == {1, 2, 3}
 
 
+def test_incremental_dedup_decisions(spark):
+    """r6: incremental ingest dedup against a persisted corpus signature
+    table. A verbatim copy of a corpus doc matches with est_jac 1.0 and
+    dup_of = the MIN matching corpus id; fresh docs keep; NULL / blank /
+    short batch docs keep with NULL dup_of (pruned pre-banding, restored
+    by the decision contract); an empty-signature corpus row (NULL text,
+    keep_empty sentinels) never matches anything — the degenerate
+    all-sentinel bucket is pruned on both sides. Exactly one decision
+    row per batch row, for both hash families."""
+    from schisma_spark.functions.dedup import (
+        incremental_dedup, minhash_signatures_df,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog every single day"
+    corpus = spark.createDataFrame(
+        [(100, shared), (101, shared),
+         (102, "completely unrelated corpus document about database "
+               "engines and columnar storage formats"),
+         (103, None)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, shared),
+         (2, "totally novel words never appearing anywhere else in "
+             "this tiny corpus fixture at all"),
+         (3, None), (4, ""), (5, "two words")],
+        "doc_id long, text string")
+    for hasher in ("portable", "native"):
+        sigs = minhash_signatures_df(corpus, "text", "doc_id",
+                                     hasher=hasher, keep_empty=True)
+        rows = incremental_dedup(batch, sigs, "text", "doc_id",
+                                 hasher=hasher, min_est_jac=0.5).collect()
+        assert len(rows) == 5, hasher
+        by_id = {r["new_id"]: r for r in rows}
+        assert not by_id[1]["keep"] and by_id[1]["dup_of"] == 100
+        assert by_id[1]["est_jac"] == 1.0
+        for nid in (2, 3, 4, 5):
+            r = by_id[nid]
+            assert r["keep"] and r["dup_of"] is None and r["est_jac"] is None
+
+
 def test_redact_pii_and_counts(spark):
     """r6: emails/IPv4/phone-shapes replaced with typed tokens in
     declaration order (ip before phone so the phone pattern never eats

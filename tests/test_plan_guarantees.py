@@ -162,6 +162,33 @@ def test_text_near_dup_plans_not_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_incremental_dedup_plan_not_cartesian(spark):
+    """r6: the batch-vs-corpus candidate join must stay an equi-join on
+    (band_idx, band_hash) and the decision join on new_id — the whole
+    point of the incremental shape is that NOTHING scales with
+    |corpus| x |batch|."""
+    from pyspark.sql import Row
+    from schisma_spark.functions.dedup import (
+        incremental_dedup, minhash_signatures_df,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the quick brown fox number {i} jumps over "
+                            f"the lazy dog while the animals watch")
+         for i in range(25)]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=1000 + i, text=f"the quick brown fox number {i} jumps "
+                                   f"over the lazy dog while the animals "
+                                   f"watch") for i in range(5)]
+    )
+    sigs = minhash_signatures_df(corpus, "text", "doc_id")
+    out = incremental_dedup(batch, sigs, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_curation_plans_not_cartesian(spark):
     """r5: the composed curation pipelines (text + embedding) inherit the
     near-dup join shapes — guard the whole composition too."""
