@@ -1019,6 +1019,26 @@ def q_weighted_sample(spark, sf):
     return out.select("doc_id", "source", "lang")
 
 
+def q_lexical_diversity(spark, sf):
+    """Lexical diversity / repetitiveness (r6): TTR + Simpson
+    concentration per document, from integer-exact aggregates (see
+    functions/text.lexical_diversity for why not Shannon Σ c·ln c).
+    Plants both degenerate ends: every 9th doc becomes three-word spam
+    (simpson high, ttr tiny), every 13th NULL (restored row, NULL
+    ratios). The oracle replays the same per-term integer counts."""
+    from schisma_spark.functions.text import lexical_diversity
+
+    did = F.col("doc_id")
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    src = d.select(
+        "doc_id",
+        F.when(did % 9 == 0,
+               F.lit("buy now buy now buy now buy now buy now"))
+        .when(did % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")).alias("text"))
+    return lexical_diversity(src, "text", "doc_id")
+
+
 def q_incremental_dedup(spark, sf):
     """Incremental ingest dedup (r6): the production shape — a new batch
     checked against the EXISTING corpus via its persisted signature
@@ -1113,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_psl": q_domain_psl,
         "corpus_diff": q_corpus_diff,
         "incremental_dedup": q_incremental_dedup,
+        "lexical_diversity": q_lexical_diversity,
         "weighted_sample": q_weighted_sample,
         "decontaminate_pairs": q_decontaminate_pairs,
         "url_filter": q_url_filter,
@@ -2005,6 +2026,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": near_dups_sql,
         "incremental_dedup": incremental_dedup_sql,
+        "lexical_diversity": f"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 9 = 0
+                     THEN 'buy now buy now buy now buy now buy now'
+                     WHEN doc_id % 13 = 0 THEN NULL
+                     ELSE text END AS text
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, unnest({_WORDS}) AS term FROM src
+            ),
+            pt AS (
+              SELECT doc_id, term, count(*) AS c FROM w
+              GROUP BY doc_id, term
+            ),
+            agg AS (
+              SELECT doc_id, sum(c) AS n, count(*) AS d, sum(c*c) AS c2
+              FROM pt GROUP BY doc_id
+            )
+            SELECT s.doc_id::bigint AS doc_id,
+                   coalesce(agg.n, 0)::bigint AS n_tokens,
+                   coalesce(agg.d, 0)::bigint AS n_distinct,
+                   CASE WHEN agg.n > 0
+                        THEN agg.d::double / agg.n END AS ttr,
+                   CASE WHEN agg.n > 0
+                        THEN agg.c2::double / (agg.n * agg.n)
+                   END AS simpson
+            FROM src s LEFT JOIN agg ON agg.doc_id = s.doc_id
+        """,
         "dedup_clusters": dedup_clusters_sql,
         # the pointer-jumping engine variant must land on the IDENTICAL
         # fixpoint — same oracle verbatim (the hash gate IS the proof)

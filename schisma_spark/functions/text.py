@@ -176,6 +176,56 @@ def dup_line_frac(c: Column) -> Column:
     return bind(lines, body)
 
 
+def lexical_diversity(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document lexical-diversity / repetitiveness table:
+    ``id, n_tokens, n_distinct, ttr, simpson`` — the distributional
+    quality signal the scalar ``dup_word_frac`` can't see (a doc that
+    cycles three words has the same distinct/total ratio as natural
+    prose of the same vocabulary but a very different concentration).
+    ``ttr`` = type-token ratio (n_distinct / n_tokens); ``simpson`` =
+    Σ c_i² / n² (the Simpson concentration index — the probability two
+    random token draws are the same word; → 1 for degenerate spam,
+    → 1/n_distinct for a uniform vocabulary).
+
+    DESIGN: every statistic is derived from INTEGER aggregates (token
+    count, distinct count, sum of squared per-term counts), never a
+    floating-point sum — a Shannon-entropy Σ c·ln c would depend on the
+    reduce-side double-addition order, which Spark does not guarantee
+    across partitionings (and would diverge from any oracle in the last
+    ulp). Simpson carries the same repetitiveness ordering as entropy
+    for filtering purposes and is bit-deterministic.
+
+    Scale shape: one explode to (id, term) narrow rows, then two
+    hash aggregations — per-(id, term) counts and per-id integer sums —
+    both with map-side partial combine; zero-token docs (NULL / blank /
+    whitespace) are restored by a left join from the id side with
+    n_tokens = 0 and NULL ratios (one output row per input row). No
+    window, no HOF in the aggregate stage, nothing funnels."""
+    from schisma_spark.functions.dedup import words
+
+    w = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(words(F.col(text_col))).alias("_term"),
+    )
+    per_term = w.groupBy("_id", "_term").agg(F.count(F.lit(1)).alias("_c"))
+    agg = per_term.groupBy("_id").agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_d"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+    )
+    out = df.select(F.col(id_col)).join(
+        agg.withColumnRenamed("_id", id_col), id_col, "left")
+    n = F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+    d = F.coalesce(F.col("_d"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        d.alias("n_distinct"),
+        F.when(n > 0, d.cast("double") / n).alias("ttr"),
+        F.when(n > 0, F.col("_c2").cast("double") / (n * n)).alias("simpson"),
+    )
+
+
 def strip_boilerplate(df, text_col: str = "text", id_col: str = "doc_id",
                       min_docs: int = 100):
     """Boilerplate LINE removal (r5 VERDICT #6): drop every line whose

@@ -270,3 +270,49 @@ def decontaminate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    spark_schema: T.StructType,
+    corpus_sigs: DataFrame,
+    decisions_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    **dedup_kw,
+):
+    """Ingest-time near-dup gate: documents arriving under ``input_path``
+    are checked against the EXISTING corpus via its persisted signature
+    table (``functions.dedup.incremental_dedup``) — the streaming
+    deployment of the production dedup shape, where the 10^12-doc corpus
+    is never re-signed and each micro-batch pays only O(batch · bands)
+    work plus the index join.
+
+    Zero cross-batch state: the corpus index is static for the run (a
+    deployment refreshes it between runs by unioning accepted batches'
+    signatures — the signature table is the mergeable artifact). Every
+    batch row yields exactly one appended decision row
+    (new_id, keep, dup_of, est_jac, batch_id); restarts replay
+    deterministically, same as ``decontaminate_stream``. Cache
+    ``corpus_sigs`` when it is not a trivial scan — foreachBatch
+    re-evaluates it per batch."""
+    from schisma_spark.functions.dedup import incremental_dedup
+
+    stream = spark.readStream.schema(spark_schema).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        (incremental_dedup(batch_df, corpus_sigs, text_col, id_col,
+                           **dedup_kw)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(decisions_path))
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

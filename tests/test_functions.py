@@ -1018,6 +1018,35 @@ def test_minhash_signatures_df_matches_projection(spark):
         assert agg_ne == {1, 2, 3}
 
 
+def test_lexical_diversity_exact_values(spark):
+    """r6: TTR / Simpson from integer aggregates — hand-computed values
+    on known token multisets, NULL/blank docs restored with NULL
+    ratios, one output row per input row."""
+    from schisma_spark.functions.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),            # counts {a:3, b:2}
+         (2, "spam spam spam spam"),  # degenerate: one term
+         (3, "all words here differ completely"),
+         (4, None), (5, ""), (6, "   ")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            lexical_diversity(df, "text", "doc_id").collect()}
+    assert len(rows) == 6
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct"]) == (5, 2)
+    assert r1["ttr"] == 2 / 5
+    assert r1["simpson"] == (9 + 4) / 25          # (3² + 2²) / 5²
+    r2 = rows[2]
+    assert r2["simpson"] == 1.0 and r2["ttr"] == 0.25
+    r3 = rows[3]
+    assert r3["ttr"] == 1.0 and r3["simpson"] == 1 / 5
+    for nid in (4, 5, 6):
+        r = rows[nid]
+        assert r["n_tokens"] == 0 and r["n_distinct"] == 0
+        assert r["ttr"] is None and r["simpson"] is None
+
+
 def test_incremental_dedup_decisions(spark):
     """r6: incremental ingest dedup against a persisted corpus signature
     table. A verbatim copy of a corpus doc matches with est_jac 1.0 and

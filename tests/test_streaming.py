@@ -222,3 +222,59 @@ def test_decontaminate_stream_available_now(spark, tmp_path):
     out2 = spark.read.parquet(dec)
     assert out2.count() == 30                    # 20 old NOT reprocessed
     assert out2.where("contaminated").count() == 5
+
+
+def test_incremental_dedup_stream_available_now(spark, tmp_path):
+    """r6: the streaming ingest near-dup gate — arriving docs are
+    checked against a static persisted corpus signature table; verbatim
+    corpus copies are dropped with est_jac 1.0, fresh and NULL-text docs
+    keep, one decision row per arriving doc, and a restart processes
+    only NEW files."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from schisma_spark.functions.dedup import minhash_signatures_df
+    from schisma_spark.streaming import incremental_dedup_stream
+
+    known = ("the quick brown fox jumps over the lazy dog every single "
+             "day in the training corpus")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=500, text=known),
+         Row(doc_id=501, text="a completely different corpus document "
+                              "about columnar storage formats")],
+        "doc_id long, text string")
+    sigs = minhash_signatures_df(corpus, "text", "doc_id",
+                                 hasher="portable", keep_empty=True)
+
+    sch = T.StructType([T.StructField("doc_id", T.LongType()),
+                        T.StructField("text", T.StringType())])
+    inp, dec, ckpt = (str(tmp_path / p) for p in ("in", "dec", "ckpt"))
+    rows = [Row(doc_id=i,
+                text=known if i % 4 == 0 else
+                None if i == 7 else
+                f"organic fresh document number {i} about spark engines "
+                f"and shuffle behavior") for i in range(12)]
+    spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(inp)
+
+    q = incremental_dedup_stream(spark, inp, sch, sigs, dec, ckpt,
+                                 hasher="portable", min_est_jac=0.5)
+    q.awaitTermination(120)
+    out = spark.read.parquet(dec)
+    assert out.count() == 12
+    dropped = {r["new_id"]: r for r in out.where("NOT keep").collect()}
+    assert set(dropped) == {0, 4, 8}
+    assert all(r["dup_of"] == 500 and r["est_jac"] == 1.0
+               for r in dropped.values())
+    assert out.where("new_id = 7 AND keep AND dup_of IS NULL").count() == 1
+
+    # restart: only the new file is processed
+    more = [Row(doc_id=100, text=known),
+            Row(doc_id=101, text="novel content entirely new here today")]
+    spark.createDataFrame(more, sch).coalesce(1).write.mode(
+        "append").parquet(inp)
+    q2 = incremental_dedup_stream(spark, inp, sch, sigs, dec, ckpt,
+                                  hasher="portable", min_est_jac=0.5)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(dec)
+    assert out2.count() == 14
+    assert out2.where("NOT keep").count() == 4
