@@ -594,6 +594,34 @@ def q_minhash_near_dups(spark, sf):
                              n_hashes=16, bands=4)
 
 
+def q_containment_near_dups(spark, sf):
+    """Subset-duplication pairs (r6): asymmetric shingle containment over
+    INVERTED-INDEX candidates — the duplication shape Jaccard LSH
+    structurally misses (a doc quoted inside a longer page never shares a
+    minhash band: jac ~0.5 but containment exactly 1.0). Plants: every
+    base doc is concatenated with its slice successor into a synthetic
+    page (doc_id+2000000) that CONTAINS both (cont 1.0, jac ~0.5, below
+    any Jaccard near-dup bar); a NULL-text and a 2-word doc exercise the
+    <shingle_k prune. Oracle recomputes the identical index join + exact
+    list_intersect verify."""
+    from schisma_spark.functions.dedup import containment_near_dups
+
+    d = (_t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
+         .select("doc_id", "text"))
+    nxt = d.select((F.col("doc_id") - 10).alias("k"),
+                   F.col("text").alias("t2"))
+    combos = (d.join(nxt, F.col("doc_id") == F.col("k"))
+              .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                      F.concat_ws(" ", F.col("text"), F.col("t2"))
+                      .alias("text")))
+    degenerate = spark.createDataFrame(
+        [(3000001, None), (3000002, "tiny doc")], "doc_id long, text string")
+    corpus = fan_out(d.unionByName(combos).unionByName(degenerate))
+    out = containment_near_dups(corpus, "text", "doc_id", threshold=0.95,
+                                min_shared=2)
+    return out.select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a", "jac")
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup CLUSTER assignment (r4): connected components over the
     minhash near-dup pair graph — the step that turns pairs into
@@ -1115,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_recall": q_lsh_ann_recall,
         "cosine_near_dups": q_cosine_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
+        "containment_near_dups": q_containment_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_shortcut": q_dedup_clusters_shortcut,
         "curation_keep_list": q_curation_keep_list,
@@ -2026,6 +2055,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": near_dups_sql,
         "incremental_dedup": incremental_dedup_sql,
+        # containment twin (r6): same corpus plants (concat pages, NULL +
+        # short-text degenerates), same inverted-index candidate stage
+        # (shared-hash count >= min_shared over the FULL index), exact
+        # list_intersect verify with the engine's division arithmetic
+        "containment_near_dups": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT a.doc_id + 2000000, a.text || ' ' || b.text
+              FROM base a JOIN base b ON b.doc_id = a.doc_id + 10
+              UNION ALL
+              SELECT 3000001, NULL
+              UNION ALL
+              SELECT 3000002, 'tiny doc'
+            ),
+            docs AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(sh,
+                       s -> ('0x'||substr(md5(s),1,8))::int64)) AS hs
+              FROM (SELECT doc_id, {_SHINGLES3} AS sh, len(w) AS nw
+                    FROM (SELECT doc_id, {_WORDS} AS w FROM corpus))
+              WHERE nw >= 3
+            ),
+            inv AS (SELECT doc_id, unnest(hs) AS h FROM docs),
+            cands AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT id_a, id_b,
+                   len(list_intersect(x.hs, y.hs)) / len(x.hs)
+                     AS cont_a_in_b,
+                   len(list_intersect(x.hs, y.hs)) / len(y.hs)
+                     AS cont_b_in_a,
+                   len(list_intersect(x.hs, y.hs)) /
+                     (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+                     AS jac
+            FROM cands
+            JOIN docs x ON x.doc_id = id_a
+            JOIN docs y ON y.doc_id = id_b
+            WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.95
+        """,
         "lexical_diversity": f"""
             WITH src AS (
               SELECT doc_id,

@@ -337,7 +337,7 @@ def main():
         "vocab_stats", "vocab_drift", "weighted_sample",
         "decontaminate_pairs", "url_filter", "domain_psl",
         "hash_split", "corpus_diff", "incremental_dedup",
-        "lexical_diversity",
+        "lexical_diversity", "containment_near_dups",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

@@ -547,6 +547,95 @@ def minhash_near_dups(
     )
 
 
+def containment_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    shingle_k: int = 3,
+    hasher: str = "portable",
+    max_doc_freq: int | None = None,
+    min_shared: int = 1,
+) -> DataFrame:
+    """ASYMMETRIC-containment near-duplicate pairs: ``id_a, id_b,
+    cont_a_in_b (= |A∩B|/|A|), cont_b_in_a, jac``, keeping pairs where
+    ``max(cont_a_in_b, cont_b_in_a) >= threshold``.
+
+    Jaccard-targeted MinHash LSH structurally misses SUBSET duplication —
+    a 50-shingle document quoted inside a 5,000-shingle page has
+    jac ~= 0.01 (no band ever agrees) but containment 1.0; wrapper pages,
+    quote farms, and concatenated crawls are exactly this shape. So
+    candidates come from the INVERTED INDEX instead of minhash bands:
+    explode distinct shingle hashes to (id, h), self-join on ``h``, and
+    count shared hashes per ``id_a < id_b`` pair (the classic
+    prefix-filter / PPJoin candidate stage).
+
+    Scale shape: the index join costs O(sum_h df(h)^2). ``max_doc_freq``
+    drops corpus-ubiquitous shingles from the INDEX ONLY, bounding every
+    term at max_doc_freq * df(h); verification recomputes the TRUE
+    intersection from the full per-doc hash arrays (semi-joined to
+    candidate ids), so the cap costs recall only for pairs whose EVERY
+    shared shingle is ubiquitous — boilerplate overlap, not duplication.
+    ``min_shared`` prunes single-trigram coincidence pairs before the
+    (more expensive) verify join. Docs with fewer than ``shingle_k``
+    words are excluded (containment denominator would be 0); NULL text
+    behaves like blank text (``words``).
+
+    Within-doc hash32 collisions fold two string shingles into one hash
+    (~n^2/2^33 per doc — same accepted approximation as
+    ``minhash_near_dups``'s verify stage)."""
+    h32 = hash32_native if hasher == "native" else hash32
+    base = df.where(F.size(words(F.col(text_col))) >= shingle_k)
+    hs = base.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), shingle_k),
+                        lambda s: h32(s))
+        ).alias("hs"),
+    )
+    inv = hs.select("_id", F.explode("hs").alias("h"))
+    if max_doc_freq is not None:
+        hot = (inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+               .where(F.col("_df") > max_doc_freq).select("h"))
+        inv = inv.join(hot, "h", "left_anti")
+    cands = (
+        inv.select(F.col("h"), F.col("_id").alias("id_a"))
+        .join(inv.select(F.col("h"), F.col("_id").alias("id_b")), "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_id"))
+        .unionByName(cands.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    full = hs.join(cand_ids, "_id", "leftsemi")
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+
+    def body(i: Column) -> Column:
+        na, nb = F.size(F.col("hs_a")), F.size(F.col("hs_b"))
+        return F.struct(
+            (i / na).alias("cont_a_in_b"),
+            (i / nb).alias("cont_b_in_a"),
+            (i / (na + nb - i)).alias("jac"),
+        )
+
+    return (
+        cands
+        .join(full.select(F.col("_id").alias("id_a"),
+                          F.col("hs").alias("hs_a")), "id_a")
+        .join(full.select(F.col("_id").alias("id_b"),
+                          F.col("hs").alias("hs_b")), "id_b")
+        .select("id_a", "id_b", bind(inter, body).alias("_m"))
+        .select("id_a", "id_b", "_m.cont_a_in_b", "_m.cont_b_in_a", "_m.jac")
+        .where(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+               >= threshold)
+    )
+
+
 def lsh_band_table(sigs: DataFrame, id_col: str = "doc_id",
                    sig_col: str = "sig", bands: int = 4,
                    rows: int = 4, sentinel: int = H32_SENTINEL) -> DataFrame:

@@ -1551,3 +1551,80 @@ def test_corpus_diff_statuses(spark):
                    4: "unchanged", 5: "changed", 6: "added"}
     # exactly one row per id in either snapshot
     assert len(got) == 6
+
+
+def test_containment_subset_duplication(spark):
+    """The duplication shape Jaccard LSH structurally misses: a short doc
+    embedded VERBATIM inside a much longer page. Containment is exactly
+    1.0 while jaccard sits far below any band threshold — and
+    minhash_near_dups at its own 0.5 bar indeed finds nothing."""
+    from schisma_spark.functions.dedup import containment_near_dups
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=small),
+        Row(doc_id=2, text=filler + " " + small + " tail one two three"),
+        Row(doc_id=3, text="totally unrelated vocabulary entirely "
+                           "different words over here right now"),
+    ])
+    got = {(r.id_a, r.id_b): r
+           for r in containment_near_dups(df, "text", "doc_id",
+                                          threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].cont_a_in_b == 1.0
+    assert got[(1, 2)].jac < 0.3
+    lsh = minhash_near_dups(df, "text", "doc_id", threshold=0.5).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in lsh)
+
+
+def test_containment_max_doc_freq_cap(spark):
+    """The index cap drops corpus-ubiquitous shingles from CANDIDATE
+    GENERATION only; verification recomputes the true intersection, so a
+    pair that still shares >= min_shared rare shingles keeps identical
+    scores — while pairs whose EVERY shared shingle is boilerplate
+    disappear (the documented recall trade)."""
+    from schisma_spark.functions.dedup import containment_near_dups
+
+    boiler = "click here to subscribe to our newsletter today"
+    rows = [Row(doc_id=i,
+                text=f"unique{i} body{i} words{i} only{i} here{i} "
+                     f"more{i} stuff{i} {boiler}")
+            for i in range(10)]
+    # docs 100/101 share REAL content beyond the boilerplate
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows += [Row(doc_id=100, text=shared + " " + boiler),
+             Row(doc_id=101, text=shared + " closing words here "
+                                  + boiler)]
+    df = spark.createDataFrame(rows)
+    uncapped = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a, r.jac)
+                for r in containment_near_dups(
+                    df, "text", "doc_id", threshold=0.6).collect()}
+    capped = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a, r.jac)
+              for r in containment_near_dups(
+                  df, "text", "doc_id", threshold=0.6,
+                  max_doc_freq=4).collect()}
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # boilerplate-only pairs existed uncapped (10 filler docs all share
+    # the phrase) and are gone under the cap
+    filler_pairs_capped = [p for p in capped if p[0] < 10 and p[1] < 10]
+    assert filler_pairs_capped == []
+
+
+def test_containment_min_shared(spark):
+    """min_shared prunes single-shingle coincidence pairs pre-verify."""
+    from schisma_spark.functions.dedup import containment_near_dups
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c"),                 # one trigram: 'a b c'
+        Row(doc_id=2, text="z a b c"),               # contains it (2 trigrams)
+        Row(doc_id=3, text="p q r s t u v w"),
+    ])
+    one = containment_near_dups(df, "text", "doc_id", threshold=0.9,
+                                min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in one} == {(1, 2)}
+    assert one[0].cont_a_in_b == 1.0
+    two = containment_near_dups(df, "text", "doc_id", threshold=0.9,
+                                min_shared=2).collect()
+    assert two == []

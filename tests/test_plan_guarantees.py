@@ -138,8 +138,8 @@ def test_text_near_dup_plans_not_cartesian(spark):
     silently plan a cartesian / nested-loop and only blow up at scale."""
     from pyspark.sql import Row
     from schisma_spark.functions.dedup import (
-        hamming_near_dups, minhash_near_dups, simhash64_near_dups,
-        simhash_near_dups,
+        containment_near_dups, hamming_near_dups, minhash_near_dups,
+        simhash64_near_dups, simhash_near_dups,
     )
 
     docs = spark.createDataFrame(
@@ -155,6 +155,8 @@ def test_text_near_dup_plans_not_cartesian(spark):
         "simhash32": simhash_near_dups(docs, "text", "doc_id"),
         "simhash64": simhash64_near_dups(docs, "text", "doc_id"),
         "hamming": hamming_near_dups(sigs, "sig", "id", max_hamming=3),
+        "containment": containment_near_dups(docs, "text", "doc_id",
+                                             max_doc_freq=8),
     }
     for name, out in plans.items():
         plan = out._jdf.queryExecution().executedPlan().toString()
