@@ -714,6 +714,45 @@ def q_embedding_curation(spark, sf):
                       "keep", "reason")
 
 
+def q_embedding_decontaminate(spark, sf):
+    """SEMANTIC decontamination (r6): corpus embeddings vs an eval-set
+    embedding table — the vector twin of `decontaminate`, catching
+    paraphrased leakage that shares no n-gram. Plants: eval contains
+    verbatim corpus vectors (vec_id%40==0 re-idded), x2-scaled copies
+    (vec_id%40==17 — cosine-invariant AND bucket-invariant, the
+    'paraphrase' stand-in) and an all-NaN eval slice (vec_id%40==23 —
+    must be gated out, NaN cosine passes >= threshold in both engines);
+    corpus rows at vec_id%97==0 get NULL vectors (failed encoder) and
+    must surface as clean decision rows, never dropped or NaN-matched.
+    Oracle reassembles the same hyperplane buckets and exact cosines."""
+    from schisma_spark.functions.similarity import embedding_decontaminate
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+    dbl = F.col("embedding").cast("array<double>")
+    ev = (
+        emb.where(vid % 40 == 0)
+        .select((vid + 500000).alias("eval_id"), dbl.alias("embedding"))
+        .unionByName(emb.where(vid % 40 == 17).select(
+            (vid + 600000).alias("eval_id"),
+            F.transform(dbl, lambda x: x * 2).alias("embedding")))
+        .unionByName(emb.where(vid % 40 == 23).select(
+            (vid + 700000).alias("eval_id"),
+            F.transform(dbl, lambda x: F.lit(float("nan")))
+            .alias("embedding")))
+    )
+    vec_t = emb.schema["embedding"].dataType
+    corpus = fan_out(emb.select(
+        "vec_id",
+        F.when(vid % 97 == 0, F.lit(None).cast(vec_t))
+        .otherwise(F.col("embedding")).alias("embedding")))
+    out = embedding_decontaminate(corpus, ev, "vec_id", "embedding",
+                                  dim=64, threshold=0.98, n_tables=8,
+                                  n_planes=6, eval_id_col="eval_id")
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "contaminated", "n_eval_hits", "max_sim")
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic per-stratum down-sample (r4): cap each language at
     30 documents, chosen by portable-hash rank (curate.stratified_sample)
@@ -1148,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_shortcut": q_dedup_clusters_shortcut,
         "curation_keep_list": q_curation_keep_list,
         "embedding_curation": q_embedding_curation,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "signature_curation": q_signature_curation,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
@@ -2251,6 +2291,77 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_recall": lsh_recall_sql,
         "cosine_near_dups": cosine_nd_sql,
         "embedding_curation": emb_curation_sql,
+        # embedding_decontaminate twin (r6): same plants, SAME hyperplane
+        # buckets on BOTH sides (8 tables x 6 planes), validity gate with
+        # isfinite (NaN eval slice + NULL corpus vectors excluded from
+        # pairing), exact rounded cosine on cross-table candidates, one
+        # per-corpus-id hit aggregate, left join restores every corpus row
+        "embedding_decontaminate": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+            ),
+            corpus AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 97 = 0 THEN NULL ELSE vv END AS cvec
+              FROM e
+            ),
+            ev AS (
+              SELECT vec_id + 500000 AS eval_id, vv AS evec
+              FROM e WHERE vec_id % 40 = 0
+              UNION ALL
+              SELECT vec_id + 600000, list_transform(vv, x -> x * 2)
+              FROM e WHERE vec_id % 40 = 17
+              UNION ALL
+              SELECT vec_id + 700000, list_transform(vv, x -> 'nan'::DOUBLE)
+              FROM e WHERE vec_id % 40 = 23
+            ),
+            cval AS (
+              SELECT vec_id, cvec AS v FROM corpus
+              WHERE cvec IS NOT NULL
+                AND coalesce(list_sum(list_transform(cvec, x -> x*x)), 0) > 0
+                AND isfinite(coalesce(list_sum(
+                      list_transform(cvec, x -> x*x)), 0))
+            ),
+            eval_val AS (
+              SELECT eval_id, evec AS v FROM ev
+              WHERE evec IS NOT NULL
+                AND coalesce(list_sum(list_transform(evec, x -> x*x)), 0) > 0
+                AND isfinite(coalesce(list_sum(
+                      list_transform(evec, x -> x*x)), 0))
+            ),
+            csigs AS (SELECT vec_id, [{nd6_sig_list}] AS sg FROM cval),
+            esigs AS (SELECT eval_id, [{nd6_sig_list}] AS sg FROM eval_val),
+            cb AS (
+              SELECT vec_id, i AS table_id, sg[i] AS bucket
+              FROM csigs CROSS JOIN
+                   (SELECT unnest(generate_series(1, 8)) AS i) t
+            ),
+            eb AS (
+              SELECT eval_id, i AS table_id, sg[i] AS bucket
+              FROM esigs CROSS JOIN
+                   (SELECT unnest(generate_series(1, 8)) AS i) t
+            ),
+            cands AS (
+              SELECT DISTINCT cb.vec_id, eb.eval_id
+              FROM cb JOIN eb
+                ON cb.table_id = eb.table_id AND cb.bucket = eb.bucket
+            ),
+            hits AS (
+              SELECT vec_id, count(*) AS n_eval_hits, max(cos) AS max_sim
+              FROM (
+                SELECT c.vec_id,
+                       round(list_cosine_similarity(x.v, y.v), 6) AS cos
+                FROM cands c
+                JOIN cval x ON x.vec_id = c.vec_id
+                JOIN eval_val y ON y.eval_id = c.eval_id
+              ) WHERE cos >= 0.98 GROUP BY vec_id
+            )
+            SELECT e.vec_id::bigint AS vec_id,
+                   h.n_eval_hits IS NOT NULL AS contaminated,
+                   coalesce(h.n_eval_hits, 0)::int AS n_eval_hits,
+                   h.max_sim
+            FROM e LEFT JOIN hits h ON h.vec_id = e.vec_id
+        """,
         # decontaminate twin (r6): same word 3-gram shingles, same
         # portable md5 hashes, eval set = doc_id%201 docs' distinct
         # shingle hashes, overlap counted per corpus doc

@@ -296,6 +296,96 @@ def cosine_near_dups(
     )
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.97,
+    n_tables: int = 8,
+    n_planes: int | None = None,
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    round_to: int | None = 6,
+    max_bucket_size: int | None = None,
+    target_bucket_size: int = 1024,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag corpus rows whose
+    embedding has cosine >= ``threshold`` to ANY eval-set embedding — the
+    vector twin of ``dedup.decontaminate``, catching PARAPHRASED eval
+    leakage that shares no n-gram with the eval text. Every corpus row
+    yields exactly one decision row:
+    ``id_col, contaminated, n_eval_hits, max_sim`` (``max_sim`` is the
+    best HIT similarity, NULL when clean).
+
+    Scale shape: both sides are signed with the SAME hyperplane tables
+    and the candidate stage is a cross-table equi-join on
+    (table_id, bucket) — shuffle O((N_corpus + N_eval) * n_tables), never
+    corpus x eval; exact cosine runs on candidates only, then one
+    per-corpus-id aggregate and one left join restore the full corpus.
+    Like every hyperplane-LSH operator here the candidate stage is
+    probabilistic: a true hit is missed only if the pair disagrees on
+    >= 1 plane in EVERY table (raise ``n_tables`` for recall; at the
+    0.95+ decontamination regime per-plane agreement is ~0.93+, so 8
+    tables of 6 planes give ~0.99 recall per hit).
+
+    Invalid vectors on either side (NULL, zero norm, NON-FINITE norm —
+    the failed-encoder shapes; NaN cosine would otherwise pass the
+    threshold since NaN compares greater-than-everything) are excluded
+    from the pair stage; invalid CORPUS rows surface as
+    ``contaminated = false, n_eval_hits = 0`` like any clean row."""
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    n_planes = _resolve_n_planes(corpus, n_planes, target_bucket_size,
+                                 n_rows)
+    seeds = [f"t{t}" for t in range(n_tables)]
+
+    def _valid(v: Column) -> Column:
+        sq = F.aggregate(
+            v, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        return (v.isNotNull() & (F.coalesce(sq, F.lit(0.0)) > 0)
+                & (sq < F.lit(float("inf"))))
+
+    def _banded(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
+        sigs = hyperplane_signatures(F.col(vc), dim, n_planes, seeds)
+        return (df.where(_valid(F.col(vc)))
+                .select(F.col(idc).alias(out_id),
+                        F.posexplode(sigs).alias("table_id", "bucket")))
+
+    from schisma_spark.functions.dedup import cap_bucket_size
+
+    cb = cap_bucket_size(_banded(corpus, id_col, vec_col, "_cid"),
+                         ["table_id", "bucket"], "_cid", max_bucket_size)
+    eb = _banded(eval_df, eval_id_col, eval_vec_col, "_eid")
+    cands = (cb.join(eb, on=["table_id", "bucket"])
+             .select("_cid", "_eid").distinct())
+    cv = corpus.select(F.col(id_col).alias("_cid"),
+                       F.col(vec_col).alias("_cv"))
+    ev = eval_df.select(F.col(eval_id_col).alias("_eid"),
+                        F.col(eval_vec_col).alias("_ev"))
+    cos = cosine_sim(F.col("_cv"), F.col("_ev"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    hits = (cands.join(cv, "_cid").join(ev, "_eid")
+            .select("_cid", cos.alias("_cos"))
+            .where(F.col("_cos") >= threshold)
+            .groupBy("_cid")
+            .agg(F.count(F.lit(1)).alias("n_eval_hits"),
+                 F.max("_cos").alias("max_sim")))
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_cid", id_col), id_col, "left")
+        .select(F.col(id_col),
+                F.col("n_eval_hits").isNotNull().alias("contaminated"),
+                F.coalesce(F.col("n_eval_hits"), F.lit(0))
+                .cast("int").alias("n_eval_hits"),
+                F.col("max_sim"))
+    )
+
+
 def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
                   n_centroids: int = 16, sample_mod: int = 13) -> list:
     """Deterministic IVF-flat centroids: the ``n_centroids`` lowest-id

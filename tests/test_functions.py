@@ -1628,3 +1628,53 @@ def test_containment_min_shared(spark):
     two = containment_near_dups(df, "text", "doc_id", threshold=0.9,
                                 min_shared=2).collect()
     assert two == []
+
+
+def test_embedding_decontaminate_decisions(spark):
+    """Semantic decontamination: verbatim and scaled (paraphrase stand-in)
+    eval leaks flag; NaN eval rows are gated out (NaN cosine would pass
+    >= threshold); NULL-vector corpus rows surface as clean decisions;
+    every corpus row yields exactly one row."""
+    import math
+    from schisma_spark.functions.similarity import embedding_decontaminate
+
+    def vec(seed):
+        return [math.sin(seed * 7 + j) for j in range(8)]
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i)) for i in range(20)]
+        + [Row(vec_id=99, embedding=None)])
+    ev = spark.createDataFrame([
+        Row(eval_id=1000, embedding=vec(3)),                 # verbatim leak
+        Row(eval_id=1001, embedding=[x * 2 for x in vec(7)]),  # scaled leak
+        Row(eval_id=1002, embedding=[float("nan")] * 8),     # invalid eval
+    ])
+    out = {r.vec_id: r for r in embedding_decontaminate(
+        corpus, ev, "vec_id", "embedding", dim=8, threshold=0.99,
+        n_tables=4, n_planes=3, eval_id_col="eval_id").collect()}
+    assert len(out) == 21
+    assert out[3].contaminated and out[3].max_sim == 1.0
+    assert out[7].contaminated and out[7].n_eval_hits == 1
+    assert not out[99].contaminated and out[99].n_eval_hits == 0
+    assert out[99].max_sim is None
+    clean = [r for r in out.values() if not r.contaminated]
+    assert all(r.max_sim is None for r in clean)
+
+
+def test_embedding_decontaminate_plan_not_cartesian(spark):
+    """The corpus x eval candidate stage must stay an equi-join on
+    (table_id, bucket) — never a nested loop over the corpus."""
+    import math
+    from schisma_spark.functions.similarity import embedding_decontaminate
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[math.sin(i + j) for j in range(4)])
+         for i in range(40)])
+    ev = corpus.limit(3).select(F.col("vec_id").alias("eval_id"),
+                                "embedding")
+    out = embedding_decontaminate(corpus, ev, "vec_id", "embedding",
+                                  dim=4, n_tables=2, n_planes=2,
+                                  eval_id_col="eval_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
