@@ -753,6 +753,28 @@ def q_embedding_decontaminate(spark, sf):
                       "contaminated", "n_eval_hits", "max_sim")
 
 
+def q_kmeans_topics(spark, sf):
+    """Corpus topic assignment (r6): spherical-k-means cells over the
+    embeddings table — the organization pass cluster-based curation
+    (SemDeDup-style), mixture analysis, and per-topic sampling start
+    from. One projection against the deterministic literal codebook, no
+    shuffle. NULL-vector plants (vec_id%97) keep their row with NULL
+    topic. Oracle recomputes the codebook rule + rounded-cosine argmax
+    with the same lowest-index tie-break."""
+    from schisma_spark.functions.similarity import kmeans_topics
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    vec_t = emb.schema["embedding"].dataType
+    planted = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 97 == 0, F.lit(None).cast(vec_t))
+        .otherwise(F.col("embedding")).alias("embedding"))
+    out = kmeans_topics(fan_out(planted), "vec_id", "embedding",
+                        n_topics=16)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "topic_id", "sim")
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic per-stratum down-sample (r4): cap each language at
     30 documents, chosen by portable-hash rank (curate.stratified_sample)
@@ -1188,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_keep_list": q_curation_keep_list,
         "embedding_curation": q_embedding_curation,
         "embedding_decontaminate": q_embedding_decontaminate,
+        "kmeans_topics": q_kmeans_topics,
         "signature_curation": q_signature_curation,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
@@ -2289,6 +2312,43 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "lsh_ann_recall": lsh_recall_sql,
+        # kmeans_topics twin (r6): codebook = 16 lowest-id VALID vectors
+        # with vec_id%13=0 (NULL plants excluded), rounded-cosine argmax
+        # with lowest-index tie-break, left join restores invalid rows
+        "kmeans_topics": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+            ),
+            src AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 97 = 0 THEN NULL ELSE vv END AS v
+              FROM e
+            ),
+            val AS (
+              SELECT vec_id, v FROM src
+              WHERE v IS NOT NULL
+                AND coalesce(list_sum(list_transform(v, x -> x*x)), 0) > 0
+                AND isfinite(coalesce(list_sum(
+                      list_transform(v, x -> x*x)), 0))
+            ),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS c, v AS cv
+              FROM val WHERE vec_id % 13 = 0 ORDER BY vec_id LIMIT 16
+            ),
+            asg AS (
+              SELECT vec_id, c AS topic_id, cos AS sim FROM (
+                SELECT val.vec_id, cents.c,
+                  round(list_cosine_similarity(val.v, cents.cv), 6) AS cos,
+                  row_number() OVER (PARTITION BY val.vec_id
+                    ORDER BY round(list_cosine_similarity(val.v, cents.cv),
+                                   6) DESC, cents.c) AS rn
+                FROM val CROSS JOIN cents
+              ) WHERE rn = 1
+            )
+            SELECT s.vec_id::bigint AS vec_id, a.topic_id::int AS topic_id,
+                   a.sim
+            FROM src s LEFT JOIN asg a ON a.vec_id = s.vec_id
+        """,
         "cosine_near_dups": cosine_nd_sql,
         "embedding_curation": emb_curation_sql,
         # embedding_decontaminate twin (r6): same plants, SAME hyperplane

@@ -338,7 +338,7 @@ def main():
         "decontaminate_pairs", "url_filter", "domain_psl",
         "hash_split", "corpus_diff", "incremental_dedup",
         "lexical_diversity", "containment_near_dups",
-        "embedding_decontaminate",
+        "embedding_decontaminate", "kmeans_topics",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

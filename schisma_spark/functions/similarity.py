@@ -296,6 +296,93 @@ def cosine_near_dups(
     )
 
 
+def valid_vector(v: Column) -> Column:
+    """The shared failed-encoder gate: non-NULL, positive AND finite
+    squared norm. NaN/Inf elements make the norm non-finite, and under
+    IEEE ordering (NaN > everything, both Spark and DuckDB) an ungated
+    NaN cosine passes any ``>= threshold`` filter — so every vector
+    operator excludes these rows from its pair/assignment stage. DuckDB
+    twin: ``v IS NOT NULL AND coalesce(list_sum(list_transform(v,
+    x->x*x)),0) > 0 AND isfinite(...)``."""
+    sq = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return (v.isNotNull() & (F.coalesce(sq, F.lit(0.0)) > 0)
+            & (sq < F.lit(float("inf"))))
+
+
+def kmeans_topics(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_topics: int = 16,
+    refine_iters: int = 0,
+    sample_mod: int = 13,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus TOPIC assignment via distributed spherical k-means —
+    the cluster-then-curate organization pass (SemDeDup-style corpus
+    bucketing, mixture analysis, per-topic sampling all start here):
+    ``id_col, topic_id, sim`` for EVERY input row, where ``topic_id`` is
+    the argmax-cosine centroid (ties to the lowest index) and ``sim`` the
+    rounded cosine to it. Invalid vectors (NULL / zero norm / non-finite
+    norm) keep their row with ``topic_id = sim = NULL``.
+
+    Codebook: deterministic :func:`ivf_centroids` bootstrap over VALID
+    rows (``n_topics`` lowest-id vectors with ``id % sample_mod == 0``),
+    optionally polished by ``refine_iters`` distributed spherical-k-means
+    passes (:func:`ivf_refine_centroids` — one scan each, map-side
+    partials, collect bounded at n_topics rows). The default 0 keeps the
+    bootstrap the oracle pins.
+
+    Scale shape: assignment is ONE projection against the literal
+    codebook — no join, no shuffle; 10^12 rows assign in a single
+    map-only stage."""
+    import math
+
+    valid = valid_vector(F.col(vec_col))
+    vdf = df.where(valid)
+    cents = ivf_centroids(vdf, id_col, vec_col, n_topics, sample_mod)
+    if refine_iters:
+        cents = ivf_refine_centroids(vdf, vec_col, cents, refine_iters,
+                                     round_to)
+    cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+
+    def cos_arr(nv: Column) -> Column:
+        # same left-assoc fold + round(dot/(nv*cn)) op order as
+        # ivf_ann_topk, so oracle cosines stay bit-identical
+        dots = F.transform(
+            lit_doubles(cents),
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec_col), c,
+                           lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.zip_with(dots, lit_doubles(cnorms),
+                          lambda d, cn: F.round(d / (nv * cn), round_to))
+
+    assigned = bind(
+        _norm(F.col(vec_col)),
+        lambda nv: bind(
+            cos_arr(nv),
+            lambda ca: bind(
+                F.array_max(ca),
+                lambda mx: F.struct(
+                    F.array_position(ca, mx).cast("int").alias("topic_id"),
+                    mx.alias("sim"),
+                ),
+            ),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.when(valid, assigned).alias("_a"))
+        .select(F.col(id_col), F.col("_a.topic_id").alias("topic_id"),
+                F.col("_a.sim").alias("sim"))
+    )
+
+
 def embedding_decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,
@@ -342,16 +429,9 @@ def embedding_decontaminate(
                                  n_rows)
     seeds = [f"t{t}" for t in range(n_tables)]
 
-    def _valid(v: Column) -> Column:
-        sq = F.aggregate(
-            v, F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"))
-        return (v.isNotNull() & (F.coalesce(sq, F.lit(0.0)) > 0)
-                & (sq < F.lit(float("inf"))))
-
     def _banded(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
         sigs = hyperplane_signatures(F.col(vc), dim, n_planes, seeds)
-        return (df.where(_valid(F.col(vc)))
+        return (df.where(valid_vector(F.col(vc)))
                 .select(F.col(idc).alias(out_id),
                         F.posexplode(sigs).alias("table_id", "bucket")))
 

@@ -1678,3 +1678,39 @@ def test_embedding_decontaminate_plan_not_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_topics_assignment(spark):
+    """Every row keeps exactly one decision row; valid rows get a topic in
+    [1, n_topics] with sim = cosine to that centroid; invalid rows (NULL /
+    zero / NaN vector) get NULL topic; refinement never worsens the mean
+    assignment cosine (the spherical-k-means objective is monotone); and
+    the assignment stage plans with NO shuffle (one projection against
+    the literal codebook)."""
+    import math
+    from schisma_spark.functions.similarity import kmeans_topics
+
+    def vec(seed):
+        return [math.sin(seed * 3 + j) for j in range(6)]
+
+    rows = [Row(vec_id=i, embedding=vec(i)) for i in range(40)]
+    rows += [Row(vec_id=100, embedding=None),
+             Row(vec_id=101, embedding=[0.0] * 6),
+             Row(vec_id=102, embedding=[float("nan")] * 6)]
+    df = spark.createDataFrame(rows)
+    base = kmeans_topics(df, "vec_id", "embedding", n_topics=4,
+                         sample_mod=5)
+    got = {r.vec_id: r for r in base.collect()}
+    assert len(got) == 43
+    for i in range(40):
+        assert 1 <= got[i].topic_id <= 4 and got[i].sim is not None
+    for i in (100, 101, 102):
+        assert got[i].topic_id is None and got[i].sim is None
+    refined = {r.vec_id: r for r in kmeans_topics(
+        df, "vec_id", "embedding", n_topics=4, sample_mod=5,
+        refine_iters=2).collect()}
+    mean0 = sum(got[i].sim for i in range(40)) / 40
+    mean2 = sum(refined[i].sim for i in range(40)) / 40
+    assert mean2 >= mean0 - 1e-9
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
