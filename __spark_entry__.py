@@ -322,6 +322,44 @@ def q_validate_json_events(spark, sf):
                                  F.col("where").alias("loc"))
 
 
+def q_incremental_validate(spark, sf):
+    """Delta-cost revalidation (r6): between two event snapshots only
+    ADDED (+10M ids, some invalid) and CHANGED (%29 repaired, %31 newly
+    broken) payloads are re-validated; UNCHANGED rows carry their prior
+    violations by semi-join; REMOVED rows (%17) drop out. The oracle
+    revalidates the FULL new snapshot — the hash match IS the
+    incremental==full identity proof."""
+    from schisma_spark.json_validate import validate_json
+    from schisma_spark.validate import incremental_validate
+
+    base = _t(spark, sf, "events").select("event_id", "props")
+    eid = F.col("event_id")
+    v1 = base.select(
+        "event_id",
+        F.when(eid % 7 == 0, F.lit('{"k": "bad"}'))
+        .when(eid % 11 == 0, F.lit("{}"))
+        .when(eid % 13 == 0, F.lit('{"k": 1, "zz": 2}'))
+        .otherwise(F.col("props")).alias("payload"))
+    v2_kept = v1.where(eid % 17 != 0).select(
+        "event_id",
+        F.when(eid % 29 == 0, F.lit('{"k": 4.5}'))
+        .when(eid % 31 == 0, F.lit('{"k": "now-bad"}'))
+        .otherwise(F.col("payload")).alias("payload"))
+    added = base.where(eid % 19 == 0).select(
+        (eid + 10000000).alias("event_id"),
+        F.when(eid % 38 == 0, F.lit('{"k": "added-bad"}'))
+        .otherwise(F.lit('{"k": 3.5}')).alias("payload"))
+    v1, v2 = fan_out(v1), fan_out(v2_kept.unionByName(added))
+    sch = schema({"k": float})
+
+    def vfn(df):
+        return validate_json(df, "payload", sch,
+                             keys=["event_id"]).violations
+
+    out = incremental_validate(v1, v2, "event_id", "payload", vfn, vfn(v1))
+    return out.select("event_id", "code", F.col("where").alias("loc"))
+
+
 def q_validate_variant_events(spark, sf):
     """Variant-path validation (variant_validate.py): JS undefined vs null
     over events.props — a union [float, Null] accepts JSON null and
@@ -1189,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lang_quality_agg": q_lang_quality_agg,
         "validate_json_events": q_validate_json_events,
+        "incremental_validate": q_incremental_validate,
         "quantiles_quantity": q_quantiles_quantity,
         "kll_quantiles_check": q_kll_quantiles_check,
         "hll_distinct_check": q_hll_distinct_check,
@@ -1996,6 +2035,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, 'unexpected key', k FROM (
               SELECT event_id, unnest(json_keys(p)) AS k FROM ev) t
+              WHERE k != 'k'
+        """,
+        # incremental_validate twin (r6): the ORACLE validates the full
+        # new snapshot — hash equality against the engine's
+        # delta-validate + carried-violations union is the
+        # incremental == full identity proof
+        "incremental_validate": """
+            WITH v1 AS (
+              SELECT event_id,
+                CASE WHEN event_id % 7 = 0 THEN '{"k": "bad"}'
+                     WHEN event_id % 11 = 0 THEN '{}'
+                     WHEN event_id % 13 = 0 THEN '{"k": 1, "zz": 2}'
+                     ELSE props END AS p
+              FROM events),
+            v2 AS (
+              SELECT event_id,
+                CASE WHEN event_id % 29 = 0 THEN '{"k": 4.5}'
+                     WHEN event_id % 31 = 0 THEN '{"k": "now-bad"}'
+                     ELSE p END AS p
+              FROM v1 WHERE event_id % 17 != 0
+              UNION ALL
+              SELECT event_id + 10000000,
+                CASE WHEN event_id % 38 = 0 THEN '{"k": "added-bad"}'
+                     ELSE '{"k": 3.5}' END
+              FROM events WHERE event_id % 19 = 0)
+            SELECT event_id, 'no match' AS code, 'k' AS loc FROM v2
+              WHERE p->>'$.k' IS NOT NULL
+                AND try_cast(p->>'$.k' AS double) IS NULL
+            UNION ALL
+            SELECT event_id, 'missing key', 'k' FROM v2
+              WHERE p->>'$.k' IS NULL
+            UNION ALL
+            SELECT event_id, 'unexpected key', k FROM (
+              SELECT event_id, unnest(json_keys(p)) AS k FROM v2) t
               WHERE k != 'k'
         """,
         "quantiles_quantity": """

@@ -339,6 +339,7 @@ def main():
         "hash_split", "corpus_diff", "incremental_dedup",
         "lexical_diversity", "containment_near_dups",
         "embedding_decontaminate", "kmeans_topics",
+        "incremental_validate",
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (

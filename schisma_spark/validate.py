@@ -198,3 +198,56 @@ def _assemble(df, keys, res, filter_non_errors, root_where):
                  .otherwise(F.lit(0))).cast("int")
     return ValidationResult(df=df, keys=list(keys), viols_col=viols,
                             nviols_col=n)
+
+
+def incremental_validate(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    payload_cols,
+    validate_fn,
+    prior_violations: DataFrame,
+) -> DataFrame:
+    """Violations for the NEW snapshot at DELTA cost — the production
+    shape where a 10^12-row corpus is never revalidated wholesale:
+    rows ADDED or CHANGED since the old snapshot (exact NULL-safe
+    ``xxhash64`` fingerprint over ``payload_cols``) run ``validate_fn``;
+    UNCHANGED rows carry their rows from ``prior_violations``
+    (semi-join); REMOVED rows' violations drop out. Identity:
+    ``incremental_validate(old, new, ...) == validate_fn(new)`` whenever
+    ``prior_violations == validate_fn(old)`` — the oracle query checks
+    exactly this (the engine runs incremental, DuckDB revalidates the
+    full new snapshot).
+
+    Unlike :func:`schisma_spark.functions.curate.corpus_diff` (content
+    drift: whitespace/case-normalized portable fingerprint) the
+    fingerprint here is EXACT bytes — any payload difference can change
+    a verdict, so normalization would silently carry stale violations.
+    xxhash64 is fine because the fingerprint never crosses engines; a
+    per-id 64-bit collision between the old and new payload (odds
+    ~2^-64 per changed row) is the accepted miss.
+
+    Scale shape: each side reduces to narrow (id, fp) rows before one
+    full-outer id join; validate_fn sees only the delta; payload bytes
+    never shuffle (the semi-joins carry ids only). ``validate_fn`` takes
+    the delta DataFrame (same schema as ``new_df``) and must return
+    violation rows carrying ``id_col``."""
+    if isinstance(payload_cols, str):
+        payload_cols = [payload_cols]
+    fp = F.xxhash64(*[F.col(c) for c in payload_cols])
+    a = old_df.select(F.col(id_col), fp.alias("_fp_a"),
+                      F.lit(True).alias("_in_a"))
+    b = new_df.select(F.col(id_col), fp.alias("_fp_b"),
+                      F.lit(True).alias("_in_b"))
+    j = a.join(b, id_col, "full_outer")
+    in_a = F.coalesce(F.col("_in_a"), F.lit(False))
+    in_b = F.coalesce(F.col("_in_b"), F.lit(False))
+    delta_ids = j.where(in_b & (~in_a
+                                | ~F.col("_fp_a").eqNullSafe(F.col("_fp_b"))
+                                )).select(id_col)
+    unchanged_ids = j.where(
+        in_a & in_b & F.col("_fp_a").eqNullSafe(F.col("_fp_b"))
+    ).select(id_col)
+    fresh = validate_fn(new_df.join(delta_ids, id_col, "leftsemi"))
+    carried = prior_violations.join(unchanged_ids, id_col, "leftsemi")
+    return fresh.unionByName(carried)
