@@ -22,6 +22,7 @@ from schisma_spark.checks import (
     hll_distinct_check,
     kll_quantile_check,
     ks_from_histograms,
+    psi_from_histograms,
     top_k_violations,
 )
 from schisma_spark.functions import (
@@ -144,6 +145,19 @@ def q_drift_ks_quantity(spark, sf):
                            "l_quantity", 0.0, 50.0, 10)
     ks = ks_from_histograms(cur, base)
     return ks.select(F.round("ks", 6).alias("ks"))
+
+
+def q_psi_quantity(spark, sf):
+    """Population Stability Index between the same two histograms the KS
+    query compares (drift family, checks/drift.py): add-0.5 smoothing over
+    the full-outer bin set, then sum (pa-pb)*ln(pa/pb)."""
+    li = _t(spark, sf, "lineitem")
+    cur = fixed_histogram(li.where(F.col("l_returnflag") == "A"),
+                          "l_quantity", 0.0, 50.0, 10)
+    base = fixed_histogram(li.where(F.col("l_returnflag") == "N"),
+                           "l_quantity", 0.0, 50.0, 10)
+    p = psi_from_histograms(cur, base)
+    return p.select(F.round("psi", 6).alias("psi"))
 
 
 def q_topk_violations(spark, sf):
@@ -1212,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orders_customer": q_fk_orders_customer,
         "hist_quantity": q_hist_quantity,
         "drift_ks_quantity": q_drift_ks_quantity,
+        "psi_quantity": q_psi_quantity,
         "topk_violations": q_topk_violations,
         "conform_events": q_conform_events,
         "conform_coercions": q_conform_coercions,
@@ -1811,6 +1826,19 @@ def oracle_sql() -> dict[str, str]:
                               sum(cb) OVER (ORDER BY bin) /
                                 (sum(cb) OVER ()) AS cdfb FROM j)
             SELECT round(max(abs(cdfa - cdfb)), 6)::double AS ks FROM c
+        """,
+        "psi_quantity": f"""
+            WITH a AS (SELECT {bin10} AS bin, count(*)::double AS ca
+                       FROM lineitem WHERE l_returnflag='A' GROUP BY 1),
+                 b AS (SELECT {bin10} AS bin, count(*)::double AS cb
+                       FROM lineitem WHERE l_returnflag='N' GROUP BY 1),
+                 j AS (SELECT coalesce(ca, 0) + 0.5 AS sa,
+                              coalesce(cb, 0) + 0.5 AS sb
+                       FROM a FULL JOIN b ON a.bin = b.bin),
+                 p AS (SELECT sa / sum(sa) OVER () AS pa,
+                              sb / sum(sb) OVER () AS pb FROM j)
+            SELECT round(sum((pa - pb) * ln(pa / pb)), 6)::double AS psi
+            FROM p
         """,
         "topk_violations": f"""
             SELECT * FROM ({viol_orders})

@@ -323,7 +323,8 @@ def main():
     li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     for name in (
         "verdicts_lineitem", "stats_lineitem", "dups_partkey",
-        "hist_quantity", "drift_ks_quantity", "conform_events",
+        "hist_quantity", "drift_ks_quantity", "psi_quantity",
+        "conform_events",
         "text_stats", "minhash_near_dups", "ann_topk",
         "lsh_ann_topk", "ivf_ann_topk", "conform_json_events",
         "validate_variant_events", "recursive_validate",
@@ -343,7 +344,8 @@ def main():
     ):
         fn = entry.queries()[name]
         rows = li_rows if "lineitem" in name or name in (
-            "dups_partkey", "hist_quantity", "drift_ks_quantity") else None
+            "dups_partkey", "hist_quantity", "drift_ks_quantity",
+            "psi_quantity") else None
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect(), rows=rows)
 
     # production-hasher end-to-end near-dups (r2 VERDICT #3): the flagship

@@ -10,7 +10,12 @@ bounded top-k violation sampling.
 from schisma_spark.checks.stats import column_stats
 from schisma_spark.checks.uniqueness import duplicate_keys, uniqueness_violations
 from schisma_spark.checks.referential import fk_violations
-from schisma_spark.checks.drift import fixed_histogram, ks_from_histograms, quantile_sketch
+from schisma_spark.checks.drift import (
+    fixed_histogram,
+    ks_from_histograms,
+    psi_from_histograms,
+    quantile_sketch,
+)
 from schisma_spark.checks.sketch import (
     hll_distinct_check,
     hll_merge,
@@ -30,6 +35,7 @@ __all__ = [
     "fk_violations",
     "fixed_histogram",
     "ks_from_histograms",
+    "psi_from_histograms",
     "quantile_sketch",
     "hll_sketch",
     "hll_merge",

@@ -137,6 +137,47 @@ def grouped_histogram_pandas(
     )
 
 
+def psi_from_histograms(
+    current: DataFrame,
+    baseline: DataFrame,
+    group_by: Sequence[str] | None = None,
+    bin_col: str = "bin",
+    cnt_col: str = "cnt",
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index per group from two binned histograms —
+    the industry-standard drift score the KS statistic complements
+    (PSI weights tail mass by log-ratio; conventional reading: < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 action):
+    ``psi = sum_bins (p_cur - p_base) * ln(p_cur / p_base)``.
+
+    Bins absent on one side get ``smooth`` pseudo-counts (add-smoothing
+    BEFORE renormalization, the vocab_drift convention) so empty bins
+    stay finite instead of infinite. Computed entirely in Spark over the
+    tiny histogram frames (window totals, no driver collect); histograms
+    themselves are mergeable one-pass aggregates, so at 10^12 rows the
+    only full-corpus work is the two ``fixed_histogram`` scans."""
+    group_by = list(group_by or [])
+    a = current.groupBy(*group_by, bin_col).agg(F.sum(cnt_col).alias("ca"))
+    b = baseline.groupBy(*group_by, bin_col).agg(F.sum(cnt_col).alias("cb"))
+    joined = a.join(b, on=group_by + [bin_col], how="full").fillna(
+        0, subset=["ca", "cb"]
+    )
+    wt = Window.partitionBy(*group_by)
+    sa = F.col("ca") + F.lit(smooth)
+    sb = F.col("cb") + F.lit(smooth)
+    probs = joined.select(
+        *group_by,
+        (sa / F.sum(sa).over(wt)).alias("pa"),
+        (sb / F.sum(sb).over(wt)).alias("pb"),
+    )
+    grp = [F.col(g) for g in group_by]
+    return probs.groupBy(*grp).agg(
+        F.sum((F.col("pa") - F.col("pb"))
+              * F.log(F.col("pa") / F.col("pb"))).alias("psi")
+    )
+
+
 def drift_verdicts(
     current_hist: DataFrame,
     baseline_hist: DataFrame,

@@ -115,6 +115,56 @@ def test_histogram_and_ks(spark, lineitem):
     assert ks2 > 0.3
 
 
+def test_psi_from_histograms(spark, lineitem):
+    from schisma_spark.checks import psi_from_histograms
+
+    hist = fixed_histogram(lineitem, "l_quantity", 0.0, 50.0, 10)
+    # identical histograms -> psi == 0 exactly (pa == pb per bin)
+    psi0 = psi_from_histograms(hist, hist).collect()[0]["psi"]
+    assert psi0 == pytest.approx(0.0)
+
+    # a +20 shift is major drift on the conventional PSI scale (> 0.25)
+    shifted = fixed_histogram(
+        lineitem.withColumn("l_quantity", F.col("l_quantity") + 20.0),
+        "l_quantity", 0.0, 50.0, 10,
+    )
+    psi1 = psi_from_histograms(shifted, hist).collect()[0]["psi"]
+    assert psi1 > 0.25
+    # symmetric in its two arguments (the formula is)
+    psi2 = psi_from_histograms(hist, shifted).collect()[0]["psi"]
+    assert psi1 == pytest.approx(psi2, rel=1e-9)
+
+
+def test_psi_grouped_matches_numpy(spark):
+    import math
+
+    from schisma_spark.checks import psi_from_histograms
+
+    rows = [
+        # group g1: disjoint support exercises the smoothing path
+        ("g1", 0, 10, 0), ("g1", 1, 0, 10), ("g1", 2, 5, 5),
+        # group g2: identical -> psi 0
+        ("g2", 0, 7, 7), ("g2", 1, 3, 3),
+    ]
+    cur = spark.createDataFrame(
+        [(g, b, ca) for g, b, ca, _ in rows], "g string, bin int, cnt long")
+    base = spark.createDataFrame(
+        [(g, b, cb) for g, b, _, cb in rows], "g string, bin int, cnt long")
+    got = {r["g"]: r["psi"]
+           for r in psi_from_histograms(cur, base, group_by=["g"]).collect()}
+
+    def psi_ref(pairs, smooth=0.5):
+        sa = [a + smooth for a, _ in pairs]
+        sb = [b + smooth for _, b in pairs]
+        ta, tb = sum(sa), sum(sb)
+        return sum((a / ta - b / tb) * math.log((a / ta) / (b / tb))
+                   for a, b in zip(sa, sb))
+
+    assert got["g1"] == pytest.approx(
+        psi_ref([(10, 0), (0, 10), (5, 5)]), rel=1e-9)
+    assert got["g2"] == pytest.approx(0.0, abs=1e-12)
+
+
 def test_top_k(spark, orders):
     pruned = spark.read.parquet(f"{SF}/customer.parquet").where(F.col("c_custkey") > 100)
     v = fk_violations(orders, pruned, ["o_custkey"], ["c_custkey"], keys=["o_orderkey"])
