@@ -453,6 +453,51 @@ def q_events_daily(spark, sf):
     )
 
 
+def q_sessionize_events(spark, sf):
+    """Gap-based sessionization (functions/temporal.py): per-user sessions
+    split on > 8 h of inactivity, then per-session aggregates. One shuffle
+    on user_id; microsecond integer arithmetic on both engines."""
+    from schisma_spark.functions import session_stats
+
+    ev = _t(spark, sf, "events")
+    s = session_stats(ev, "user_id", "ts", gap_seconds=28800.0,
+                      id_col="event_id")
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("span_sec", 6).alias("span_sec"),
+        "first_id", "last_id",
+    )
+
+
+def q_asof_join_events(spark, sf):
+    """Backward as-of join (functions/temporal.py union-tag implementation)
+    vs DuckDB's native ASOF LEFT JOIN: every click gains the latest prior
+    error state for the same user (value + age in seconds); clicks before
+    any error keep NULLs."""
+    from schisma_spark.functions import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    j = asof_join(clicks, errors, on=["user_id"], left_ts="ts",
+                  right_ts="ts", right_cols=["err_value"])
+    age = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.col("ts_asof").cast("timestamp"))) \
+        / F.lit(1_000_000.0)
+    return j.select(
+        "event_id", "user_id",
+        F.col("err_value_asof"),
+        F.round(age, 6).alias("age_sec"),
+    )
+
+
 def q_conform_json_events(spark, sf):
     """conform_json round trip, fully oracle-able since the r2 typed
     re-serialization: output key order is deterministic (schema order, then
@@ -1250,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_categories": q_new_categories,
         "stats_grouped": q_stats_grouped,
         "events_daily": q_events_daily,
+        "sessionize_events": q_sessionize_events,
+        "asof_join_events": q_asof_join_events,
         "conform_json_events": q_conform_json_events,
         "conform_variant_events": q_conform_variant_events,
         "validate_variant_events": q_validate_variant_events,
@@ -2160,6 +2207,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n,
                    min(value)::double AS min_v, max(value)::double AS max_v
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH d AS (
+              SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts) AS pus
+              FROM events),
+            lab AS (
+              SELECT user_id, event_id, us,
+                     sum(CASE WHEN pus IS NULL
+                               OR us - pus > 28800000000
+                          THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING)::bigint AS session_id
+              FROM d)
+            SELECT user_id, session_id, count(*)::bigint AS n_events,
+                   round((max(us) - min(us)) / 1e6, 6)::double AS span_sec,
+                   min(event_id) AS first_id, max(event_id) AS last_id
+            FROM lab GROUP BY user_id, session_id
+        """,
+        "asof_join_events": """
+            SELECT l.event_id, l.user_id,
+                   r.err_value AS err_value_asof,
+                   round((epoch_us(l.ts) - epoch_us(r.ts)) / 1e6, 6)::double
+                     AS age_sec
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, max(value) AS err_value
+                  FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "conform_json_events": """
             -- independent recomputation of every repair path; CASE order

@@ -22,6 +22,7 @@ from schisma_spark.functions.dedup import (
     word_shingles,
 )
 from schisma_spark.functions.similarity import cosine_sim, brute_force_topk
+from schisma_spark.functions.temporal import asof_join, session_stats, sessionize
 
 __all__ = [
     "hash32",
@@ -38,4 +39,7 @@ __all__ = [
     "jaccard",
     "cosine_sim",
     "brute_force_topk",
+    "sessionize",
+    "session_stats",
+    "asof_join",
 ]
