@@ -498,6 +498,62 @@ def q_asof_join_events(spark, sf):
     )
 
 
+def q_fd_check(spark, sf):
+    """Functional-dependency summary (checks/dependency.py): does
+    o_custkey -> o_orderpriority hold per customer? (It doesn't —
+    customers place orders at many priorities — so the output exercises
+    both verdicts.) One NULL-safe hash aggregate on the determinant."""
+    from schisma_spark.checks.dependency import fd_groups
+
+    g = fd_groups(_t(spark, sf, "orders"),
+                  ["o_custkey"], ["o_orderpriority"])
+    return g.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_values", "violating",
+    )
+
+
+def q_seq_gaps_lineitem(spark, sf):
+    """Dense-sequence gap detection (checks/sequence.py): missing
+    l_linenumber runs per order, leading gaps against start=1 included —
+    the synthetic lineitem is naturally gappy, no planting. One window
+    shuffle on l_orderkey."""
+    from schisma_spark.checks.sequence import sequence_gaps
+
+    g = sequence_gaps(_t(spark, sf, "lineitem"),
+                      ["l_orderkey"], "l_linenumber", start=1)
+    return g.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        "gap_start", "gap_end", "gap_len",
+    )
+
+
+def q_monotonic_events(spark, sf):
+    """Out-of-order event detection (checks/sequence.py): per-user
+    timestamps that move backwards in event_id (ingestion) order —
+    schisma 'invalid' violation rows against the carried last non-NULL
+    prior value. Microsecond integers on both engines. The synthetic
+    stream is already time-ordered per user (the natural check returns
+    0 rows), so deterministic ingestion jitter is PLANTED: each event's
+    clock is pulled back (event_id % 97) hours — the classic
+    late-arrival shape the check exists to catch."""
+    from schisma_spark.checks.sequence import monotonic_violations
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - (F.col("event_id") % 97) * F.lit(3_600_000_000)).alias("us"),
+    )
+    v = monotonic_violations(ev, ["user_id"], ["event_id"], "us")
+    return v.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "code", F.col("where").alias("loc"), "received",
+        F.col("value").alias("prev_value"),
+    )
+
+
 def q_conform_json_events(spark, sf):
     """conform_json round trip, fully oracle-able since the r2 typed
     re-serialization: output key order is deterministic (schema order, then
@@ -1011,6 +1067,26 @@ def q_repetition_stats(spark, sf):
     )
 
 
+def q_dup_spans(spark, sf):
+    """Cross-document duplicated-span coverage (functions/dedup.py
+    dup_spans) — the Spark-shaped substitute for suffix-array exact
+    substring dedup: word 8-gram windows occurring in >= 2 distinct
+    documents, per-doc interval-union token coverage. The synthetic
+    template corpus shares ~1k 8-grams naturally at sf0.01, so no
+    planting is needed; the oracle recomputes windows, doc frequency,
+    and the lag-based union independently."""
+    from schisma_spark.functions.dedup import dup_spans
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = dup_spans(d, "text", "doc_id", k=8, min_docs=2,
+                    hasher="portable")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words", "n_windows", "n_dup_windows", "dup_tokens",
+        "dup_token_frac",
+    )
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing, chunk strategy (r6): shard documents by the
     portable id hash, lay each shard's token stream end-to-end in id
@@ -1297,6 +1373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "sessionize_events": q_sessionize_events,
         "asof_join_events": q_asof_join_events,
+        "fd_check": q_fd_check,
+        "seq_gaps_lineitem": q_seq_gaps_lineitem,
+        "monotonic_events": q_monotonic_events,
         "conform_json_events": q_conform_json_events,
         "conform_variant_events": q_conform_variant_events,
         "validate_variant_events": q_validate_variant_events,
@@ -1318,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
+        "dup_spans": q_dup_spans,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
         "pack_greedy": q_pack_greedy,
@@ -2239,6 +2319,49 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "fd_check": """
+            SELECT o_custkey::bigint AS o_custkey,
+                   count(*)::bigint AS n_rows,
+                   (count(DISTINCT o_orderpriority)
+                    + max(CASE WHEN o_orderpriority IS NULL
+                          THEN 1 ELSE 0 END))::bigint AS n_values,
+                   (count(DISTINCT o_orderpriority)
+                    + max(CASE WHEN o_orderpriority IS NULL
+                          THEN 1 ELSE 0 END)) > 1 AS violating
+            FROM orders GROUP BY o_custkey
+        """,
+        "seq_gaps_lineitem": """
+            WITH s AS (
+              SELECT l_orderkey, l_linenumber::bigint AS q,
+                     lag(l_linenumber::bigint) OVER
+                       (PARTITION BY l_orderkey ORDER BY l_linenumber)
+                       AS p
+              FROM lineitem WHERE l_linenumber IS NOT NULL)
+            SELECT l_orderkey::bigint AS l_orderkey,
+                   coalesce(p + 1, 1) AS gap_start,
+                   q - 1 AS gap_end,
+                   q - coalesce(p + 1, 1) AS gap_len
+            FROM s WHERE coalesce(p + 1, 1) <= q - 1
+        """,
+        "monotonic_events": """
+            WITH s AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) - (event_id % 97) * 3600000000 AS us,
+                     last_value(epoch_us(ts)
+                                - (event_id % 97) * 3600000000
+                                IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev
+              FROM events)
+            SELECT user_id::bigint AS user_id,
+                   event_id::bigint AS event_id,
+                   'invalid' AS code, 'us' AS loc,
+                   us::varchar AS received,
+                   prev::varchar AS prev_value
+            FROM s WHERE us IS NOT NULL AND prev IS NOT NULL
+                     AND us < prev
+        """,
         "conform_json_events": """
             -- independent recomputation of every repair path; CASE order
             -- mirrors the query's when-chain (17 -> 9 -> 7 -> 11 -> 13 ->
@@ -2656,6 +2779,49 @@ def oracle_sql() -> dict[str, str]:
                        x -> x <> '') AS ls
               FROM src
             )
+        """,
+        # dup_spans twin: positional 8-gram window hashes (parallel
+        # unnest zips values with indices), distinct-doc frequency >= 2,
+        # lag-based interval-union coverage — each stage recomputed
+        # independently of the engine's Column algebra
+        "dup_spans": f"""
+            WITH base AS (
+              SELECT doc_id, {_WORDS} AS w FROM documents),
+            wh AS (
+              SELECT doc_id, coalesce(len(w), 0)::bigint AS n_words,
+                     coalesce(CASE WHEN len(w) < 8 THEN []::bigint[]
+                       ELSE list_transform(range(1, len(w) - 6), i ->
+                         ('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]
+                          ||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '
+                          ||w[i+6]||' '||w[i+7]), 1, 8))::int64)
+                       END, []::bigint[]) AS wh
+              FROM base),
+            pos AS (
+              SELECT doc_id,
+                     unnest(range(1, len(wh) + 1)) - 1 AS pos,
+                     unnest(wh) AS h
+              FROM wh),
+            dup AS (
+              SELECT h FROM pos
+              GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT doc_id,
+                     coalesce(least(8, pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos)), 8) AS inc
+              FROM pos JOIN dup USING (h)),
+            pd AS (
+              SELECT doc_id, count(*)::bigint AS n_dup_windows,
+                     sum(inc)::bigint AS dup_tokens
+              FROM hits GROUP BY doc_id)
+            SELECT b.doc_id::bigint AS doc_id, b.n_words,
+                   len(b.wh)::bigint AS n_windows,
+                   coalesce(p.n_dup_windows, 0)::bigint AS n_dup_windows,
+                   coalesce(p.dup_tokens, 0)::bigint AS dup_tokens,
+                   CASE WHEN b.n_words > 0
+                        THEN round(coalesce(p.dup_tokens, 0)
+                                   / b.n_words, 6)::double
+                        ELSE 0.0 END AS dup_token_frac
+            FROM wh b LEFT JOIN pd p USING (doc_id)
         """,
         # strip_boilerplate twin (r6): same planted lines, line explode
         # with positions (parallel unnest zips), distinct-doc frequency

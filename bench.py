@@ -338,7 +338,8 @@ def main():
         "vocab_stats", "vocab_drift", "weighted_sample",
         "decontaminate_pairs", "url_filter", "domain_psl",
         "hash_split", "corpus_diff", "incremental_dedup",
-        "sessionize_events", "asof_join_events",
+        "sessionize_events", "asof_join_events", "dup_spans",
+        "fd_check", "seq_gaps_lineitem", "monotonic_events",
         "lexical_diversity", "containment_near_dups",
         "embedding_decontaminate", "kmeans_topics",
         "incremental_validate",

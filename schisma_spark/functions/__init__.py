@@ -15,6 +15,7 @@ from schisma_spark.functions.text import (
     token_count_ws,
 )
 from schisma_spark.functions.dedup import (
+    dup_spans,
     exact_dup_groups,
     jaccard,
     minhash_signature,
@@ -37,6 +38,7 @@ __all__ = [
     "minhash_signature",
     "exact_dup_groups",
     "jaccard",
+    "dup_spans",
     "cosine_sim",
     "brute_force_topk",
     "sessionize",

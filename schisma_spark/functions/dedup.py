@@ -1208,3 +1208,118 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _window_hashes(c: Column, k: int, hasher: str) -> Column:
+    """POSITIONAL word k-gram hashes — element i (0-based) is the hash of
+    the window starting at word i. Unlike :func:`word_shingles` this keeps
+    every occurrence in order (no array_distinct): position is the point.
+    NULL/short text -> empty array. The word array is let-bound (bind) —
+    the k element_at references would otherwise re-split per element."""
+    if hasher == "native":
+        def hash_fn(s: Column) -> Column:
+            return F.xxhash64(s)
+    else:
+        hash_fn = hash32
+
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        wins = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+            lambda i: hash_fn(F.concat_ws(
+                " ", *[F.element_at(w, (i + j).cast("int"))
+                       for j in range(k)])),
+        )
+        # sequence(1, 0) would generate DESCENDING [1, 0] — guard like
+        # word_shingles does
+        return F.when(n < k, F.array().cast("array<long>")).otherwise(wins)
+
+    return F.coalesce(bind(words(c), body),
+                      F.array().cast("array<long>"))
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_docs: int = 2,
+    hasher: str = "portable",
+) -> DataFrame:
+    """CROSS-document duplicated-span statistics — the Spark-shaped
+    substitute for suffix-array exact-substring dedup (the "remove exact
+    duplicated >= 50-token substrings" pass of Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): a word
+    k-gram window is *duplicated* when it occurs in >= ``min_docs``
+    DISTINCT documents; each document reports how much of it is covered
+    by duplicated windows. Complements the in-document repetition signals
+    (``dup_word_frac``/``dup_line_frac`` measure a doc repeating itself;
+    this measures the corpus repeating across docs — boilerplate spans,
+    syndicated passages, licence blocks) and MinHash near-dups (which
+    need whole-doc similarity; a 50-token span shared by two long,
+    otherwise-unrelated pages never reaches a minhash band).
+
+    Output, one row per input document (every-row contract — NULL/short
+    texts report zeros)::
+
+        id_col, n_words, n_windows, n_dup_windows, dup_tokens,
+        dup_token_frac
+
+    ``dup_tokens`` is the size of the UNION of the duplicated windows'
+    token intervals [pos, pos+k): computed with one lag() over positions
+    per doc — since starts are sorted and all intervals share length k,
+    the union increment is ``least(k, pos - lag(pos))`` (k for the first
+    window). Overlapping duplicated windows therefore never double-count
+    a token. ``dup_token_frac = dup_tokens / n_words``.
+
+    Scale shape (10^12 docs): the corpus explodes to (id, pos, hash) —
+    narrow longs, never text. One hash aggregate on the window hash
+    (count_distinct doc partials map-side) builds the duplicated-hash
+    set; one equi-join (AQE broadcasts it when small; sort-merge when
+    boilerplate is rampant — still linear) filters occurrences; one
+    window+aggregate on the doc id folds coverage. A document's windows
+    land in one task — bounded by doc length, not corpus size. No
+    cartesian anywhere (plan-guarded in tests).
+
+    ``hasher='portable'`` is the DuckDB-oracle-able md5 path;
+    ``'native'`` (xxhash64, 64-bit) is the production default at
+    10^12 x 10^3 windows where 32-bit collisions would over-flag."""
+    base = df.select(
+        F.col(id_col),
+        F.size(words(F.col(text_col))).alias("n_words"),
+        _window_hashes(F.col(text_col), k, hasher).alias("_wh"),
+    )
+    pos = base.select(
+        id_col, F.posexplode("_wh").alias("_pos", "_h"))
+    dup = (
+        pos.groupBy("_h")
+        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_h")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    prev = F.lag("_pos").over(w)
+    inc = F.coalesce(F.least(F.lit(k), F.col("_pos") - prev), F.lit(k))
+    per_doc = (
+        pos.join(dup, "_h")
+        .select(F.col(id_col), inc.alias("_inc"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"),
+             F.sum("_inc").alias("dup_tokens"))
+    )
+    n_dup = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+    toks = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return (
+        base.select(id_col, "n_words", F.size("_wh").alias("n_windows"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            n_dup.alias("n_dup_windows"),
+            toks.alias("dup_tokens"),
+            F.when(F.col("n_words") > 0,
+                   F.round(toks / F.col("n_words"), 6))
+            .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        )
+    )
