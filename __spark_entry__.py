@@ -1087,6 +1087,22 @@ def q_dup_spans(spark, sf):
     )
 
 
+def q_unigram_logprob(spark, sf):
+    """CCNet-style LM-quality proxy (functions/text.py unigram_logprob):
+    per-doc mean ln p(token) under a corpus-self-trained add-0.5-smoothed
+    unigram model, plus the perplexity transform. The oracle recomputes
+    the vocabulary, the factored denominator, and the per-doc mean
+    independently."""
+    from schisma_spark.functions.text import unigram_logprob
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = unigram_logprob(d, "text", "doc_id", alpha=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens", "logprob_mean", "ppl",
+    )
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing, chunk strategy (r6): shard documents by the
     portable id hash, lay each shard's token stream end-to-end in id
@@ -1398,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
+        "unigram_logprob": q_unigram_logprob,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
         "pack_greedy": q_pack_greedy,
@@ -2822,6 +2839,26 @@ def oracle_sql() -> dict[str, str]:
                                    / b.n_words, 6)::double
                         ELSE 0.0 END AS dup_token_frac
             FROM wh b LEFT JOIN pd p USING (doc_id)
+        """,
+        # unigram_logprob twin: self-trained vocabulary, factored
+        # denominator (avg ln(tf+a) - ln(D)) exactly as the engine
+        # computes it, NULL scores for empty docs
+        "unigram_logprob": f"""
+            WITH src AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            toks AS (SELECT doc_id, unnest(w) AS term FROM src),
+            vocab AS (SELECT term, count(*)::bigint AS tf
+                      FROM toks GROUP BY term),
+            tot AS (SELECT sum(tf)::double AS total,
+                           count(*)::bigint AS v FROM vocab),
+            per AS (SELECT doc_id, avg(ln(tf + 0.5)) AS m
+                    FROM toks JOIN vocab USING (term) GROUP BY doc_id)
+            SELECT b.doc_id::bigint AS doc_id,
+                   coalesce(len(b.w), 0)::bigint AS n_tokens,
+                   round(p.m - ln(t.total + 0.5 * (t.v + 1)), 6)
+                     AS logprob_mean,
+                   round(exp(-(p.m - ln(t.total + 0.5 * (t.v + 1)))), 6)
+                     AS ppl
+            FROM src b LEFT JOIN per p USING (doc_id) CROSS JOIN tot t
         """,
         # strip_boilerplate twin (r6): same planted lines, line explode
         # with positions (parallel unnest zips), distinct-doc frequency

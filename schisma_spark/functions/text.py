@@ -384,3 +384,67 @@ def vocab_drift(df_a, df_b, text_col: str = "text", top_n: int = 100,
         F.round(p_b, 6).alias("p_b"),
         F.round(js, 9).alias("js_contrib"),
     )
+
+
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                    vocab_df=None, alpha: float = 0.5):
+    """Per-document mean unigram log-probability — the distributable
+    proxy for the CCNet-style LM-perplexity quality filter: score every
+    document by the average ``ln p(token)`` under a unigram model,
+    self-trained on the corpus by default or scored against a
+    ``vocab_df`` (``term, tf``) from a frozen reference corpus (the
+    production shape: train once on a trusted snapshot, score every
+    ingest batch). Low scores flag rare-token soup / gibberish; high
+    scores are common fluent text.
+
+    ``p(token) = (tf + alpha) / (total + alpha * (V + 1))`` —
+    add-``alpha`` smoothing over the V vocabulary terms plus one shared
+    OOV bucket, so scoring a new snapshot against a frozen vocabulary is
+    total (unseen tokens get the OOV mass, never -inf).
+
+    Output, one row per input document: ``id_col, n_tokens,
+    logprob_mean, ppl`` (``exp(-logprob_mean)``); empty/NULL docs keep
+    their row with NULL scores (nothing to score — distinct from a
+    low-quality verdict).
+
+    Scale shape: tokens explode to narrow (id, term) rows and equi-join
+    the vocabulary (vocab-sized — AQE broadcasts a frozen reference
+    vocab, sort-merges a web-scale self-trained one; both linear); the
+    shared denominator is factored out (``avg ln(tf+a) - ln(D)``) so the
+    ONE-row totals frame cross-joins the per-DOC aggregate, never the
+    token stream. Same ``words()`` normalization as the dedup/vocab
+    family."""
+    from schisma_spark.functions.dedup import words
+
+    tokens = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    if vocab_df is None:
+        vocab = tokens.groupBy("term").agg(
+            F.count(F.lit(1)).alias("tf"))
+    else:
+        vocab = vocab_df.select(
+            "term", F.col("tf").cast("long").alias("tf"))
+    totals = vocab.agg(F.sum("tf").cast("double").alias("_total"),
+                       F.count(F.lit(1)).alias("_v"))
+    a = F.lit(float(alpha))
+    per_doc = (
+        tokens.join(vocab, "term", "left")
+        .groupBy("_id")
+        .agg(F.avg(F.log(F.coalesce(F.col("tf"), F.lit(0)) + a))
+             .alias("_m"))
+    )
+    lp = F.col("_m") - F.log(F.col("_total") + a * (F.col("_v") + 1))
+    return (
+        df.select(F.col(id_col),
+                  F.size(words(F.col(text_col))).cast("long")
+                  .alias("n_tokens"))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .crossJoin(totals)
+        .select(
+            F.col(id_col), "n_tokens",
+            F.round(lp, 6).alias("logprob_mean"),
+            F.round(F.exp(-lp), 6).alias("ppl"),
+        )
+    )

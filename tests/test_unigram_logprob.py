@@ -1,0 +1,59 @@
+"""Unigram log-probability quality scoring (text.unigram_logprob)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from schisma_spark.functions.text import unigram_logprob
+
+
+def _rows(df):
+    return {r[df.columns[0]]: r.asDict() for r in df.collect()}
+
+
+def test_unigram_logprob_hand_math(spark):
+    # corpus: tf(a)=3, tf(b)=2, tf(c)=1 -> total=6, V=3, D=6+0.5*4=8
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a a b"),
+        Row(doc_id=2, text="a b c"),
+    ])
+    got = _rows(unigram_logprob(df, "text", "doc_id", alpha=0.5))
+    d = 8.0
+    lp1 = (2 * math.log(3.5) + math.log(2.5)) / 3 - math.log(d)
+    lp2 = (math.log(3.5) + math.log(2.5) + math.log(1.5)) / 3 - math.log(d)
+    assert abs(got[1]["logprob_mean"] - lp1) < 1e-6
+    assert abs(got[2]["logprob_mean"] - lp2) < 1e-6
+    assert got[1]["logprob_mean"] > got[2]["logprob_mean"]  # common > rare
+    assert abs(got[2]["ppl"] - math.exp(-lp2)) < 1e-4
+    assert got[1]["n_tokens"] == 3
+
+
+def test_unigram_logprob_empty_docs_score_null(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a"), Row(doc_id=2, text=None),
+         Row(doc_id=3, text="  ")],
+        "doc_id int, text string",
+    )
+    got = _rows(unigram_logprob(df, "text", "doc_id"))
+    assert set(got) == {1, 2, 3}
+    for d in (2, 3):
+        assert got[d]["n_tokens"] == 0
+        assert got[d]["logprob_mean"] is None and got[d]["ppl"] is None
+
+
+def test_unigram_logprob_frozen_vocab_oov(spark):
+    # score against a frozen reference vocab: OOV tokens get the
+    # smoothed tf=0 mass, never -inf/NULL
+    ref = spark.createDataFrame([Row(term="a", tf=9), Row(term="b", tf=1)])
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a a"),
+        Row(doc_id=2, text="zzz qqq"),  # fully OOV
+    ])
+    got = _rows(unigram_logprob(df, "text", "doc_id",
+                                vocab_df=ref, alpha=0.5))
+    d = 10 + 0.5 * 3
+    assert abs(got[1]["logprob_mean"] - math.log(9.5 / d)) < 1e-6
+    assert abs(got[2]["logprob_mean"] - math.log(0.5 / d)) < 1e-6
+    assert got[2]["logprob_mean"] < got[1]["logprob_mean"]
