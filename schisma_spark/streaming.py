@@ -316,3 +316,52 @@ def incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: str = "8 hours",
+    watermark: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation — the streaming twin of
+    functions.temporal.session_stats: per-entity sessions that close after
+    ``gap`` of inactivity, emitted once the watermark passes the session
+    end. Uses Spark's native ``session_window`` (merging-window state in
+    the state store: one [start, end] interval per open session per
+    entity, extended/merged as events arrive — O(open sessions) state,
+    NOT O(events)), so late events inside the watermark still merge their
+    session, and two sessions bridged by a late event collapse into one —
+    semantics the batch lag+cumsum twin reproduces exactly on replay.
+
+    Emits ``entity, session_start, session_end, n_events`` plus
+    ``sum_value`` when ``value_col`` is given. Note the window closes at
+    last_event + gap (Spark session_window semantics), so ``span_sec``
+    from the batch twin equals ``(session_end - session_start) -
+    gap_sec``. Output modes: append (production — emit once final, after
+    the watermark passes) or complete; Spark rejects update for
+    session-window aggregations."""
+    # watermarks reject TIMESTAMP_NTZ (the driver parquet's type); the
+    # cast shifts NTZ by the session offset, which cancels in every gap
+    # comparison — window bounds shift consistently with the events
+    g = (
+        stream_df
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(entity_col),
+            F.session_window(F.col(ts_col), gap).alias("win"),
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return g.agg(*aggs).select(
+        entity_col,
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
+        *([F.col("sum_value")] if value_col is not None else []),
+    )

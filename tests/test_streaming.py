@@ -278,3 +278,50 @@ def test_incremental_dedup_stream_available_now(spark, tmp_path):
     out2 = spark.read.parquet(dec)
     assert out2.count() == 14
     assert out2.where("NOT keep").count() == 4
+
+
+def test_sessionize_stream(spark, tmp_path):
+    from schisma_spark.streaming import sessionize_stream
+
+    inp = str(tmp_path / "sess")
+    rows = [
+        # user 1: 3-event session, then a >30min gap, then 2 more
+        (1, "2026-01-01 00:00:00", 1.0), (1, "2026-01-01 00:01:00", 2.0),
+        (1, "2026-01-01 00:02:00", 3.0),
+        (1, "2026-01-01 02:00:00", 4.0), (1, "2026-01-01 02:01:00", 5.0),
+        # user 2: singleton
+        (2, "2026-01-01 00:00:30", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(df.schema).parquet(inp)
+    sess = sessionize_stream(stream, "user_id", "ts",
+                             gap="30 minutes", value_col="v")
+    # complete mode for the memory sink (session windows reject update;
+    # append would wait for the watermark a one-shot batch never passes)
+    q = (
+        sess.writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_sess")).start()
+    )
+    q.awaitTermination(120)
+    out = {(r["user_id"], str(r["session_start"])): r
+           for r in spark.sql("select * from sess_out").collect()}
+    assert len(out) == 3
+    s1 = out[(1, "2026-01-01 00:00:00")]
+    assert s1["n_events"] == 3 and s1["sum_value"] == 6.0
+    # window closes at last event + gap
+    assert str(s1["session_end"]) == "2026-01-01 00:32:00"
+    s2 = out[(1, "2026-01-01 02:00:00")]
+    assert s2["n_events"] == 2 and s2["sum_value"] == 9.0
+    assert out[(2, "2026-01-01 00:00:30")]["n_events"] == 1
+
+    # batch twin (functions/temporal.py): same grouping, span relation
+    # span_sec == (end - start) - gap
+    from schisma_spark.functions import session_stats
+    batch = {(r["user_id"], r["session_id"]): r
+             for r in session_stats(df, "user_id", "ts", 1800.0).collect()}
+    assert batch[(1, 1)]["n_events"] == 3
+    assert batch[(1, 2)]["n_events"] == 2
+    assert batch[(1, 1)]["span_sec"] == 120.0  # 00:00 -> 00:02
