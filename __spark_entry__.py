@@ -1103,6 +1103,21 @@ def q_unigram_logprob(spark, sf):
     )
 
 
+def q_chunk_docs(spark, sf):
+    """Per-document overlapping chunking (functions/pack.py chunk_docs):
+    32-token windows, 8 tokens of carried context (stride 24) — the
+    RAG-index prep pass. Shuffle-free single projection + posexplode;
+    oracle replays the chunk arithmetic and 1-based list slicing."""
+    from schisma_spark.functions.pack import chunk_docs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = chunk_docs(d, "text", "doc_id", chunk_tokens=32, overlap=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_id", "start_tok", "end_tok", "n_tokens", "chunk_text",
+    )
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing, chunk strategy (r6): shard documents by the
     portable id hash, lay each shard's token stream end-to-end in id
@@ -1415,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
         "unigram_logprob": q_unigram_logprob,
+        "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
         "pack_greedy": q_pack_greedy,
@@ -2839,6 +2855,28 @@ def oracle_sql() -> dict[str, str]:
                                    / b.n_words, 6)::double
                         ELSE 0.0 END AS dup_token_frac
             FROM wh b LEFT JOIN pd p USING (doc_id)
+        """,
+        # chunk_docs twin: chunk-count arithmetic + lateral unnest over
+        # range(1, k+1) + 1-based inclusive list slicing
+        "chunk_docs": f"""
+            WITH base AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            c AS (
+              SELECT doc_id, w, coalesce(len(w), 0) AS n,
+                     CASE WHEN coalesce(len(w), 0) <= 0 THEN 0
+                          WHEN len(w) <= 32 THEN 1
+                          ELSE 1 + ceil((len(w) - 32)::double / 24)::int
+                     END AS k
+              FROM base)
+            SELECT doc_id::bigint AS doc_id,
+                   (i - 1)::bigint AS chunk_id,
+                   ((i - 1) * 24)::bigint AS start_tok,
+                   least(n, (i - 1) * 24 + 32)::bigint AS end_tok,
+                   (least(n, (i - 1) * 24 + 32)
+                    - (i - 1) * 24)::bigint AS n_tokens,
+                   array_to_string(
+                     w[(i - 1) * 24 + 1 : least(n, (i - 1) * 24 + 32)],
+                     ' ') AS chunk_text
+            FROM c, unnest(range(1, k + 1)) AS t(i)
         """,
         # unigram_logprob twin: self-trained vocabulary, factored
         # denominator (avg ln(tf+a) - ln(D)) exactly as the engine

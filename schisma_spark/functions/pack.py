@@ -159,3 +159,85 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.coalesce(F.round(F.sum("toks") / (F.sum("seqs") * budget), 6),
                    F.lit(0.0)).alias("fill_rate"),
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 64,
+) -> DataFrame:
+    """Per-document OVERLAPPING chunking — the RAG/window-attention prep
+    pass: split each document's (normalized, whitespace-split) token
+    stream into windows of ``chunk_tokens`` with ``overlap`` tokens of
+    context carried between consecutive windows (stride =
+    ``chunk_tokens - overlap``). Complements :func:`pack_sequences`:
+    packing concatenates documents ACROSS the corpus to fill a training
+    budget; chunking splits ONE document into retrievable pieces.
+
+    One row per chunk: ``id_col, chunk_id, start_tok, end_tok
+    (exclusive), n_tokens, chunk_text``; a non-empty doc shorter than
+    ``chunk_tokens`` yields exactly one full-doc chunk; empty/NULL docs
+    yield no rows (a transform, not a per-doc report — count them
+    upstream). The last chunk is never a sliver: chunk i starts at
+    ``i*stride`` and chunks stop as soon as one reaches the end of the
+    doc, so every token lands in >= 1 chunk and the final chunk ends
+    exactly at ``n``.
+
+    Scale shape: one let-bound projection builds the chunk array
+    (constant-size expression tree — the per-chunk structs come from ONE
+    ``transform`` over a ``sequence``, not an unrolled Column per chunk)
+    and explodes it — shuffle-free; ``chunk_text`` re-materializes the
+    normalized tokens, so output bytes are ~``n/stride`` x input (the
+    overlap tax every RAG index pays). Operates on the ``words()``
+    normalized stream (lowercased, whitespace-collapsed), same as the
+    dedup/vocab family — byte-faithful chunking of raw text would key on
+    character offsets instead."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens "
+            f"(got {overlap} vs {chunk_tokens})")
+    from schisma_spark.functions.dedup import words
+    from schisma_spark.functions.portable import bind
+
+    stride = chunk_tokens - overlap
+
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        # number of chunks: 0 for empty; else 1 + ceil((n - chunk)/stride)
+        extra = F.ceil((n - F.lit(chunk_tokens)).cast("double")
+                       / F.lit(stride)).cast("int")
+        n_chunks = F.when(n <= 0, F.lit(0)).when(
+            n <= chunk_tokens, F.lit(1)).otherwise(1 + extra)
+        # sequence(1, 0) would generate DESCENDING [1, 0]; a NULL array
+        # for empty docs lets posexplode drop the row (documented)
+        return F.when(n_chunks >= 1, F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                ((i - 1) * stride).cast("long").alias("start_tok"),
+                F.least(n, (i - 1) * stride + chunk_tokens)
+                .cast("long").alias("end_tok"),
+                F.concat_ws(
+                    " ",
+                    F.slice(w, (i - 1) * stride + 1,
+                            F.least(n - (i - 1) * stride,
+                                    F.lit(chunk_tokens)))
+                ).alias("chunk_text"),
+            ),
+        ))
+
+    chunks = bind(words(F.col(text_col)), body)
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks)
+                  .alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("_c.start_tok").alias("start_tok"),
+            F.col("_c.end_tok").alias("end_tok"),
+            (F.col("_c.end_tok") - F.col("_c.start_tok"))
+            .alias("n_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )
