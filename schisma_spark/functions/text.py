@@ -424,8 +424,11 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
         vocab = tokens.groupBy("term").agg(
             F.count(F.lit(1)).alias("tf"))
     else:
-        vocab = vocab_df.select(
-            "term", F.col("tf").cast("long").alias("tf"))
+        # defensive re-aggregation: a duplicate term in a user-supplied
+        # vocabulary would otherwise MULTIPLY token rows in the join
+        # (silently inflating every doc's token count); vocab-sized, cheap
+        vocab = (vocab_df.groupBy("term")
+                 .agg(F.sum(F.col("tf").cast("long")).alias("tf")))
     totals = vocab.agg(F.sum("tf").cast("double").alias("_total"),
                        F.count(F.lit(1)).alias("_v"))
     a = F.lit(float(alpha))

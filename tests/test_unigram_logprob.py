@@ -57,3 +57,15 @@ def test_unigram_logprob_frozen_vocab_oov(spark):
     assert abs(got[1]["logprob_mean"] - math.log(9.5 / d)) < 1e-6
     assert abs(got[2]["logprob_mean"] - math.log(0.5 / d)) < 1e-6
     assert got[2]["logprob_mean"] < got[1]["logprob_mean"]
+
+
+def test_unigram_logprob_duplicate_vocab_terms_merged(spark):
+    # duplicate rows in a user vocabulary must not multiply token rows
+    ref = spark.createDataFrame(
+        [Row(term="a", tf=4), Row(term="a", tf=5), Row(term="b", tf=1)])
+    df = spark.createDataFrame([Row(doc_id=1, text="a a")])
+    got = _rows(unigram_logprob(df, "text", "doc_id",
+                                vocab_df=ref, alpha=0.5))
+    d = 10 + 0.5 * 3
+    assert got[1]["n_tokens"] == 2
+    assert abs(got[1]["logprob_mean"] - math.log(9.5 / d)) < 1e-6
