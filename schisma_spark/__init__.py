@@ -19,6 +19,7 @@ Public surface::
 """
 
 from schisma_spark.dsl import Field, Null, Schema, schema
+from schisma_spark.infer import infer_schema
 from schisma_spark.result import (
     EXACT_MATCH,
     INVALID,
@@ -34,6 +35,7 @@ from schisma_spark.result import (
 
 __all__ = [
     "schema",
+    "infer_schema",
     "Schema",
     "Field",
     "Null",
