@@ -1103,6 +1103,22 @@ def q_unigram_logprob(spark, sf):
     )
 
 
+def q_bigram_logprob(spark, sf):
+    """Conditional bigram LM quality score (functions/text.py
+    bigram_logprob): per-doc mean ln p(w_i | w_{i-1}) under the
+    corpus-self-trained add-0.5 model — catches locally-scrambled text
+    the unigram score ranks highly. Oracle rebuilds the bigram stream,
+    both count tables, and the per-prefix smoothed denominator."""
+    from schisma_spark.functions.text import bigram_logprob
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = bigram_logprob(d, "text", "doc_id", alpha=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams", "logprob_mean", "ppl",
+    )
+
+
 def q_chunk_docs(spark, sf):
     """Per-document overlapping chunking (functions/pack.py chunk_docs):
     32-token windows, 8 tokens of carried context (stride 24) — the
@@ -1430,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
@@ -2855,6 +2872,32 @@ def oracle_sql() -> dict[str, str]:
                                    / b.n_words, 6)::double
                         ELSE 0.0 END AS dup_token_frac
             FROM wh b LEFT JOIN pd p USING (doc_id)
+        """,
+        # bigram_logprob twin: bigram stream via lateral unnest, both
+        # count tables, per-prefix smoothed denominator — same
+        # ln(c2+a) - ln(c1 + a(V+1)) formula the engine averages
+        "bigram_logprob": f"""
+            WITH src AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            toks AS (SELECT doc_id, unnest(w) AS term FROM src),
+            uni AS (SELECT term, count(*)::bigint AS c1
+                    FROM toks GROUP BY term),
+            tot AS (SELECT count(*)::bigint AS v FROM uni),
+            bs AS (SELECT doc_id, w[i - 1] AS prefix,
+                          w[i - 1] || ' ' || w[i] AS bg
+                   FROM src, unnest(range(2, len(w) + 1)) AS t(i)),
+            big AS (SELECT bg, count(*)::bigint AS c2
+                    FROM bs GROUP BY bg),
+            per AS (
+              SELECT doc_id, count(*)::bigint AS n_bigrams,
+                     avg(ln(c2 + 0.5) - ln(c1 + 0.5 * (v + 1))) AS m
+              FROM bs JOIN big USING (bg)
+              JOIN uni ON uni.term = bs.prefix
+              CROSS JOIN tot GROUP BY doc_id)
+            SELECT s.doc_id::bigint AS doc_id,
+                   coalesce(p.n_bigrams, 0)::bigint AS n_bigrams,
+                   round(p.m, 6) AS logprob_mean,
+                   round(exp(-p.m), 6) AS ppl
+            FROM src s LEFT JOIN per p USING (doc_id)
         """,
         # chunk_docs twin: chunk-count arithmetic + lateral unnest over
         # range(1, k+1) + 1-based inclusive list slicing

@@ -340,7 +340,7 @@ def main():
         "hash_split", "corpus_diff", "incremental_dedup",
         "sessionize_events", "asof_join_events", "dup_spans",
         "fd_check", "seq_gaps_lineitem", "monotonic_events",
-        "unigram_logprob", "chunk_docs",
+        "unigram_logprob", "bigram_logprob", "chunk_docs",
         "lexical_diversity", "containment_near_dups",
         "embedding_decontaminate", "kmeans_topics",
         "incremental_validate",

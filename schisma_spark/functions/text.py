@@ -451,3 +451,82 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
             F.round(F.exp(-lp), 6).alias("ppl"),
         )
     )
+
+
+def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                   alpha: float = 0.5):
+    """Per-document mean CONDITIONAL bigram log-probability — one rung
+    up the n-gram ladder from :func:`unigram_logprob` toward the KenLM
+    filter CCNet actually runs: score each document by the average
+    ``ln p(w_i | w_{i-1})`` with
+    ``p(w|u) = (c(u w) + alpha) / (c(u) + alpha * (V + 1))``
+    (add-alpha over the V-term vocabulary plus an OOV bucket),
+    self-trained on the corpus. Catches locally-fluent-but-scrambled
+    text (bag-of-common-words gibberish) that unigram scoring ranks
+    highly.
+
+    Output, one row per input document: ``id_col, n_bigrams,
+    logprob_mean, ppl``; docs with < 2 tokens keep their row with NULL
+    scores.
+
+    Scale shape: the bigram stream is built in ONE projection (a
+    transform over the let-bound word array — no position self-join) and
+    explodes to narrow (id, prefix, bigram) rows; the smoothed
+    denominator ``ln(c(u) + alpha*(V+1))`` is precomputed per PREFIX on
+    the vocab-sized unigram table (one-row totals crossJoin there, never
+    on the token stream), so scoring is two equi-joins + one per-doc
+    aggregate. Self-trained only: every prefix is in-vocabulary by
+    construction (a frozen-vocab variant needs OOV prefix handling at
+    token level — compose upstream if needed)."""
+    from schisma_spark.functions.dedup import words
+    from schisma_spark.functions.portable import bind
+
+    a = F.lit(float(alpha))
+
+    def bigrams(w):
+        n = F.size(w)
+        pairs = F.transform(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda i: F.struct(
+                F.element_at(w, (i - 1).cast("int")).alias("prefix"),
+                F.concat_ws(
+                    " ", F.element_at(w, (i - 1).cast("int")),
+                    F.element_at(w, i.cast("int"))).alias("bg"),
+            ),
+        )
+        return F.when(n >= 2, pairs)  # NULL (no rows) below 2 tokens
+
+    toks = df.select(F.col(id_col).alias("_id"),
+                     F.explode(words(F.col(text_col))).alias("term"))
+    stream = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(bind(words(F.col(text_col)), bigrams)).alias("_p"),
+    ).select("_id", F.col("_p.prefix").alias("prefix"),
+             F.col("_p.bg").alias("bg"))
+
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    totals = uni.agg(F.count(F.lit(1)).alias("_v"))
+    denom = uni.crossJoin(totals).select(
+        F.col("term").alias("prefix"),
+        F.log(F.col("c1") + a * (F.col("_v") + 1)).alias("_lnd"),
+    )
+    big = stream.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+
+    per_doc = (
+        stream.join(big, "bg")          # self-trained: always present
+        .join(denom, "prefix")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.avg(F.log(F.col("c2") + a) - F.col("_lnd")).alias("_m"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.round(F.col("_m"), 6).alias("logprob_mean"),
+            F.round(F.exp(-F.col("_m")), 6).alias("ppl"),
+        )
+    )
