@@ -7,6 +7,8 @@ broadcast/shuffle joins, distribution drift via mergeable sketches, and
 bounded top-k violation sampling.
 """
 
+from schisma_spark.checks.dependency import fd_groups, fd_violations
+from schisma_spark.checks.sequence import monotonic_violations, sequence_gaps
 from schisma_spark.checks.stats import column_stats
 from schisma_spark.checks.uniqueness import duplicate_keys, uniqueness_violations
 from schisma_spark.checks.referential import fk_violations
@@ -30,6 +32,10 @@ from schisma_spark.checks.topk import top_k_violations
 
 __all__ = [
     "column_stats",
+    "fd_groups",
+    "fd_violations",
+    "sequence_gaps",
+    "monotonic_violations",
     "duplicate_keys",
     "uniqueness_violations",
     "fk_violations",
