@@ -1087,6 +1087,23 @@ def q_dup_spans(spark, sf):
     )
 
 
+def q_remove_dup_spans(spark, sf):
+    """Duplicated-span REMOVAL (functions/dedup.py remove_dup_spans) —
+    the transform completing dup_spans: tokens covered by cross-doc
+    duplicated 8-gram windows are dropped and the survivors reassembled
+    in order. Oracle rebuilds detection, covered-position explosion,
+    the anti-join, and the ordered string_agg independently."""
+    from schisma_spark.functions.dedup import remove_dup_spans
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = remove_dup_spans(d, "text", "doc_id", k=8, min_docs=2,
+                           hasher="portable")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens", "n_removed", "clean_text",
+    )
+
+
 def q_unigram_logprob(spark, sf):
     """CCNet-style LM-quality proxy (functions/text.py unigram_logprob):
     per-doc mean ln p(token) under a corpus-self-trained add-0.5-smoothed
@@ -1445,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "chunk_docs": q_chunk_docs,
@@ -2920,6 +2938,52 @@ def oracle_sql() -> dict[str, str]:
                      w[(i - 1) * 24 + 1 : least(n, (i - 1) * 24 + 32)],
                      ' ') AS chunk_text
             FROM c, unnest(range(1, k + 1)) AS t(i)
+        """,
+        # remove_dup_spans twin: same window/dup-hash CTEs as dup_spans,
+        # then covered-position lateral explode, ANTI JOIN of token
+        # positions, ordered string_agg reassembly
+        "remove_dup_spans": f"""
+            WITH base AS (
+              SELECT doc_id, {_WORDS} AS w FROM documents),
+            wh AS (
+              SELECT doc_id, w,
+                     coalesce(CASE WHEN len(w) < 8 THEN []::bigint[]
+                       ELSE list_transform(range(1, len(w) - 6), i ->
+                         ('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]
+                          ||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '
+                          ||w[i+6]||' '||w[i+7]), 1, 8))::int64)
+                       END, []::bigint[]) AS wh
+              FROM base),
+            pos AS (
+              SELECT doc_id,
+                     unnest(range(1, len(wh) + 1)) - 1 AS pos,
+                     unnest(wh) AS h
+              FROM wh),
+            dup AS (
+              SELECT h FROM pos
+              GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            covered AS (
+              SELECT DISTINCT doc_id, p.pos + o.off AS t
+              FROM (SELECT doc_id, pos FROM pos JOIN dup USING (h)) p,
+                   unnest(range(0, 8)) AS o(off)),
+            toks AS (
+              SELECT doc_id, unnest(range(1, len(w) + 1)) - 1 AS t,
+                     unnest(w) AS term
+              FROM wh),
+            kept AS (
+              SELECT toks.doc_id, toks.t, toks.term FROM toks
+              ANTI JOIN covered
+                ON toks.doc_id = covered.doc_id AND toks.t = covered.t),
+            reb AS (
+              SELECT doc_id, count(*)::bigint AS n_kept,
+                     string_agg(term, ' ' ORDER BY t) AS clean
+              FROM kept GROUP BY doc_id)
+            SELECT b.doc_id::bigint AS doc_id,
+                   coalesce(len(b.w), 0)::bigint AS n_tokens,
+                   (coalesce(len(b.w), 0)
+                    - coalesce(r.n_kept, 0))::bigint AS n_removed,
+                   coalesce(r.clean, '') AS clean_text
+            FROM wh b LEFT JOIN reb r USING (doc_id)
         """,
         # unigram_logprob twin: self-trained vocabulary, factored
         # denominator (avg ln(tf+a) - ln(D)) exactly as the engine

@@ -339,6 +339,7 @@ def main():
         "decontaminate_pairs", "url_filter", "domain_psl",
         "hash_split", "corpus_diff", "incremental_dedup",
         "sessionize_events", "asof_join_events", "dup_spans",
+        "remove_dup_spans",
         "fd_check", "seq_gaps_lineitem", "monotonic_events",
         "unigram_logprob", "bigram_logprob", "chunk_docs",
         "lexical_diversity", "containment_near_dups",

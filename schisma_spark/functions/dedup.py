@@ -1323,3 +1323,78 @@ def dup_spans(
             .otherwise(F.lit(0.0)).alias("dup_token_frac"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_docs: int = 2,
+    hasher: str = "portable",
+) -> DataFrame:
+    """The REMOVAL transform completing :func:`dup_spans` (the actual
+    exact-substring-dedup pass of Lee et al. 2022): drop every token
+    covered by a cross-document duplicated k-gram window and reassemble
+    the survivors in order. One row per input document::
+
+        id_col, n_tokens, n_removed, clean_text
+
+    ``clean_text`` is the NORMALIZED reassembly (lowercased,
+    single-space — same token stream the detector hashed; byte-faithful
+    surgery would key on character offsets instead); documents with
+    nothing removed reproduce their normalized text verbatim, empty/NULL
+    docs yield ``''``.
+
+    Scale shape: detection is :func:`dup_spans`'s (narrow explode + one
+    hash agg + one equi-join); removal adds a covered-position explode
+    (x k per duplicated window — bounded by dup density), a left-anti
+    join of token positions against covered positions co-partitioned on
+    (id, pos), and one per-doc sort_array reassembly (a doc's tokens in
+    one task, bounded by doc length). Everything relational — no
+    per-row Python."""
+    base = df.select(
+        F.col(id_col),
+        words(F.col(text_col)).alias("_w"),
+        _window_hashes(F.col(text_col), k, hasher).alias("_wh"),
+    )
+    pos = base.select(id_col, F.posexplode("_wh").alias("_pos", "_h"))
+    dup = (
+        pos.groupBy("_h")
+        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_h")
+    )
+    covered = (
+        pos.join(dup, "_h")
+        .select(id_col,
+                F.explode(F.sequence(F.col("_pos"),
+                                     F.col("_pos") + (k - 1)))
+                .alias("_t"))
+        .distinct()
+    )
+    toks = base.select(id_col, F.posexplode("_w").alias("_t", "_term"))
+    kept = toks.join(covered, [id_col, "_t"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_t", "_term"))),
+                lambda s: s.getField("_term"),
+            ),
+        ).alias("_clean"),
+    )
+    n_tok = F.size("_w").cast("long")
+    return (
+        base.select(id_col, n_tok.alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens")
+             - F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long"))
+            .alias("n_removed"),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        )
+    )

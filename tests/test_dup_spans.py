@@ -118,3 +118,46 @@ def test_dup_spans_plan_no_cartesian(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_dup_spans_hand_layout(spark):
+    from schisma_spark.functions.dedup import remove_dup_spans
+
+    # d1/d2 share "c d e"/"d e f" (k=3): d1 loses tokens 2..5, d2 0..3
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g"),
+        Row(doc_id=2, text="c d e f x y"),
+        Row(doc_id=3, text="p q r s t u"),
+        Row(doc_id=4, text=None),
+    ], "doc_id int, text string")
+    got = _rows(remove_dup_spans(df, "text", "doc_id", k=3, min_docs=2))
+    assert got[1]["clean_text"] == "a b g" and got[1]["n_removed"] == 4
+    assert got[2]["clean_text"] == "x y" and got[2]["n_removed"] == 4
+    assert got[3]["clean_text"] == "p q r s t u"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_tokens"] == 0
+
+
+def test_remove_dup_spans_consistent_with_dup_spans(spark):
+    # n_removed must equal dup_spans' dup_tokens on the same corpus
+    from schisma_spark.functions.dedup import dup_spans, remove_dup_spans
+
+    vocab = ["a", "b", "c", "d"]
+    state, rows = 7, []
+    for doc in range(15):
+        n = 4 + (doc * 5) % 11
+        toks = []
+        for _ in range(n):
+            state = (state * 1103515245 + 12345) % (2 ** 31)
+            toks.append(vocab[state % len(vocab)])
+        rows.append(Row(doc_id=doc, text=" ".join(toks)))
+    df = spark.createDataFrame(rows)
+    stats = _rows(dup_spans(df, "text", "doc_id", k=3, min_docs=2))
+    removed = _rows(remove_dup_spans(df, "text", "doc_id", k=3,
+                                     min_docs=2))
+    for d in stats:
+        assert removed[d]["n_removed"] == stats[d]["dup_tokens"], d
+        # survivors + removed == all tokens
+        n_clean = (len(removed[d]["clean_text"].split())
+                   if removed[d]["clean_text"] else 0)
+        assert n_clean + removed[d]["n_removed"] == stats[d]["n_words"]
