@@ -1074,10 +1074,12 @@ def q_dup_spans(spark, sf):
     documents, per-doc interval-union token coverage. The synthetic
     template corpus shares ~1k 8-grams naturally at sf0.01, so no
     planting is needed; the oracle recomputes windows, doc frequency,
-    and the lag-based union independently."""
+    and the lag-based union independently. fan_out pays here (md5
+    window hashing is expression-BOUND on a single-file scan: measured
+    1.8x interleaved; structural no-op over a many-file scan)."""
     from schisma_spark.functions.dedup import dup_spans
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
     out = dup_spans(d, "text", "doc_id", k=8, min_docs=2,
                     hasher="portable")
     return out.select(
@@ -1092,10 +1094,11 @@ def q_remove_dup_spans(spark, sf):
     the transform completing dup_spans: tokens covered by cross-doc
     duplicated 8-gram windows are dropped and the survivors reassembled
     in order. Oracle rebuilds detection, covered-position explosion,
-    the anti-join, and the ordered string_agg independently."""
+    the anti-join, and the ordered string_agg independently. fan_out as
+    in q_dup_spans (md5-bound windows, 1.8x measured)."""
     from schisma_spark.functions.dedup import remove_dup_spans
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
     out = remove_dup_spans(d, "text", "doc_id", k=8, min_docs=2,
                            hasher="portable")
     return out.select(

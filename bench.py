@@ -364,6 +364,24 @@ def main():
         lambda: _mnd(docs_sf, "text", "doc_id", threshold=0.2,
                      n_hashes=16, bands=4, hasher="native").collect(),
     )
+    # production-hasher duplicated-span detection + removal: xxhash64
+    # window hashes (no md5 hex round-trip — the oracle rows above stay
+    # portable). 64-bit also kills the 32-bit false-window-collision
+    # over-flagging at web scale.
+    from schisma_spark.functions.dedup import (
+        dup_spans as _dsp, remove_dup_spans as _rds,
+    )
+
+    timed(
+        "dup_spans_native",
+        lambda: _dsp(fan_out(docs_sf), "text", "doc_id", k=8, min_docs=2,
+                     hasher="native").collect(),
+    )
+    timed(
+        "remove_dup_spans_native",
+        lambda: _rds(fan_out(docs_sf), "text", "doc_id", k=8, min_docs=2,
+                     hasher="native").collect(),
+    )
     # incremental ingest dedup, production shape: the corpus is represented
     # by its PERSISTED native signature table (built once outside the
     # timer, as a real deployment would); the timed run signs a 1% batch
