@@ -74,12 +74,18 @@ def fd_violations(
     bad = (
         fd_groups(df, det, dep)
         .where(F.col("violating"))
-        .select(*det)
+        .select(*[F.col(c).alias(f"_bad_{c}") for c in det])
     )
+    # NULL-safe equi-join: a NULL determinant group (zip=NULL with two
+    # cities) is exactly the dirty data this check exists for — a plain
+    # `on=det` join would silently drop it (NULL != NULL)
+    cond = F.lit(True)
+    for c in det:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_bad_{c}"))
     where = ".".join(dep)
     fd_name = f"{', '.join(det)} -> {', '.join(dep)}"
     return (
-        df.join(bad, on=det)
+        df.join(bad, on=cond)
         .select(
             *keys,
             viol(

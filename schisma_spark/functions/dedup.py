@@ -1284,13 +1284,19 @@ def dup_spans(
     ``hasher='portable'`` is the DuckDB-oracle-able md5 path;
     ``'native'`` (xxhash64, 64-bit) is the production default at
     10^12 x 10^3 windows where 32-bit collisions would over-flag."""
+    # the report branch derives n_windows ARITHMETICALLY from n_words
+    # (greatest(n_words-k+1, 0) == size of the window array by
+    # construction): referencing the hash array in both plan branches
+    # would re-run the full md5 window pass per document — Spark does no
+    # cross-branch CSE (review finding, this file's bench-dominant cost)
     base = df.select(
         F.col(id_col),
         F.size(words(F.col(text_col))).alias("n_words"),
-        _window_hashes(F.col(text_col), k, hasher).alias("_wh"),
     )
-    pos = base.select(
-        id_col, F.posexplode("_wh").alias("_pos", "_h"))
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(_window_hashes(F.col(text_col), k, hasher))
+        .alias("_pos", "_h"))
     dup = (
         pos.groupBy("_h")
         .agg(F.countDistinct(F.col(id_col)).alias("_df"))
@@ -1310,7 +1316,10 @@ def dup_spans(
     n_dup = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
     toks = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
     return (
-        base.select(id_col, "n_words", F.size("_wh").alias("n_windows"))
+        base.select(
+            id_col, "n_words",
+            F.greatest(F.col("n_words") - (k - 1), F.lit(0))
+            .alias("n_windows"))
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),

@@ -82,8 +82,13 @@ def session_stats(
 ) -> DataFrame:
     """Per-session aggregate over :func:`sessionize` labels:
     ``entity, session_id, n_events, span_sec, first_id, last_id``.
-    One extra hash aggregate on (entity, session) — still one shuffle
-    total once AQE reuses the window's hash partitioning."""
+    ``first_id``/``last_id`` are MIN/MAX of ``id_col`` within the
+    session — deterministic (and oracle-stable under ts ties, where a
+    time-ordered min_by would be tie-broken arbitrarily); they coincide
+    with the first/last event by time exactly when ids are assigned
+    time-monotonically, as ingestion ids are. One extra hash aggregate
+    on (entity, session) — still one shuffle total once AQE reuses the
+    window's hash partitioning."""
     lab = sessionize(df, entity_col, ts_col, gap_seconds)
     us = _micros(F.col(ts_col))
     aggs = [
@@ -124,6 +129,19 @@ def asof_join(
             c for c in right.columns if c not in on and c != right_ts
         ]
     right_cols = list(right_cols)
+    reserved = {"_t", "_tag", "_state", "_carried"}
+    clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
+    clash |= {f"{c}{suffix}" for c in [right_ts, *right_cols]} & set(
+        left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join column collision with internal/output names: "
+            f"{sorted(clash)} — rename before joining")
+    # a NULL right_ts would sort FIRST (asc_nulls_first) and be carried
+    # into every pre-first-state left row; the ASOF predicate
+    # right_ts <= left_ts is unknowable for it, so drop it (DuckDB ASOF
+    # and pandas merge_asof both produce no match for NULL state times)
+    right = right.where(F.col(right_ts).isNotNull())
 
     payload = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c) for c in right_cols]

@@ -61,16 +61,22 @@ def _leaf(dt: T.DataType):
     raise TypeError(f"cannot infer a schema leaf for Spark type {dt!r}")
 
 
-def _literal_for(dt: T.DataType, nullable: bool):
+def _literal_for(dt: T.DataType, nullable: bool, strict: bool = False):
+    """``strict`` (nulls='never') forces bare types at EVERY depth —
+    nested interiors included, not just top-level columns."""
+    if strict:
+        nullable = False
     if isinstance(dt, T.StructType):
-        lit = {f.name: _literal_for(f.dataType, f.nullable) for f in dt}
+        lit = {f.name: _literal_for(f.dataType, f.nullable, strict)
+               for f in dt}
     elif isinstance(dt, T.ArrayType):
-        lit = [_literal_for(dt.elementType, dt.containsNull)]
+        lit = [_literal_for(dt.elementType, dt.containsNull, strict)]
     elif isinstance(dt, T.MapType):
         if not isinstance(dt.keyType, T.StringType):
             raise TypeError(
                 f"cannot infer map with non-string keys: {dt!r}")
-        lit = {"$/.*": [_literal_for(dt.valueType, dt.valueContainsNull)]}
+        lit = {"$/.*": [_literal_for(dt.valueType, dt.valueContainsNull,
+                                     strict)]}
     else:
         lit = _leaf(dt)
     return Field(typeof=[lit, Null]) if nullable else lit
@@ -100,8 +106,12 @@ def infer_schema(
         scannable = [f.name for f in df.schema
                      if not isinstance(f.dataType, T.BinaryType)]
         if scannable:
+            # backtick-quoted resolution: a raw name containing dots
+            # would resolve as a nested-field path (review finding)
+            def _c(name):
+                return F.col("`" + name.replace("`", "``") + "`")
             counts = df.agg(*[
-                F.sum(F.col(c).isNull().cast("long")).alias(c)
+                F.sum(_c(c).isNull().cast("long")).alias(c)
                 for c in scannable
             ]).first()
             # empty df -> sum() is NULL -> treat as zero observed nulls
@@ -116,7 +126,8 @@ def infer_schema(
     else:
         nullable = {f.name: False for f in df.schema}
 
+    strict = nulls == "never"
     return {
-        f.name: _literal_for(f.dataType, nullable[f.name])
+        f.name: _literal_for(f.dataType, nullable[f.name], strict)
         for f in df.schema
     }

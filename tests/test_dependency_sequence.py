@@ -80,3 +80,16 @@ def test_fd_and_gaps_plan_no_cartesian(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fd_violations_null_determinant(spark):
+    # the dirty-data case the check exists for: a NULL determinant group
+    # with two cities must emit violation rows (a plain equi-join would
+    # silently drop it — review regression)
+    df = spark.createDataFrame(
+        [Row(id=1, zip=None, city="NYC"), Row(id=2, zip=None, city="LA"),
+         Row(id=3, zip="10001", city="NYC")],
+        "id int, zip string, city string",
+    )
+    got = fd_violations(df, ["zip"], ["city"], keys=["id"]).collect()
+    assert sorted(r["id"] for r in got) == [1, 2]

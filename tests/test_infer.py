@@ -81,3 +81,27 @@ def test_infer_binary_never_scanned(spark):
     assert isinstance(lit["payload"], Field)
     assert lit["payload"].typeof is not None  # nullable union, unscanned
     assert schema(lit).validate(df, keys=["id"]).violations.count() == 0
+
+
+def test_infer_never_is_strict_at_every_depth(spark):
+    # review regression: nested interiors must also lose their Null
+    # unions under nulls='never'
+    df = spark.createDataFrame(
+        [Row(id=1, s=Row(a=1))],
+        T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("s", T.StructType(
+                [T.StructField("a", T.LongType(), True)]), True),
+        ]))
+    strict = schema(infer_schema(df, nulls="never"))
+    later = spark.createDataFrame(
+        [Row(id=2, s=Row(a=None))],
+        df.schema)
+    assert strict.validate(later, keys=["id"]).violations.count() >= 1
+
+
+def test_infer_handles_dotted_column_names(spark):
+    df = spark.createDataFrame([Row(id=1)], "id long") \
+        .withColumnRenamed("id", "a.b")
+    lit = infer_schema(df)
+    assert "a.b" in lit and not isinstance(lit["a.b"], Field)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from schisma_spark.functions import asof_join, session_stats, sessionize
@@ -150,3 +151,36 @@ def test_temporal_plans_have_no_cartesian(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_null_state_ts_never_matches(spark):
+    # a state row with NULL ts must not be carried (review regression:
+    # NULLs sort first and became the earliest state)
+    from schisma_spark.functions import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", ts=100)], "k string, ts long")
+    right = spark.createDataFrame(
+        [Row(k="a", ts=None, v=9.0)], "k string, ts long, v double")
+    got = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_cols=["v"]).collect()
+    assert len(got) == 1
+    assert got[0]["v_asof"] is None and got[0]["ts_asof"] is None
+
+
+def test_asof_join_rejects_internal_name_collisions(spark):
+    from schisma_spark.functions import asof_join
+    import pytest
+
+    left = spark.createDataFrame(
+        [Row(k="a", ts=1, _state="x")], "k string, ts long, _state string")
+    right = spark.createDataFrame(
+        [Row(k="a", ts=1, v=1.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    # pre-existing suffixed output name also rejected
+    left2 = spark.createDataFrame(
+        [Row(k="a", ts=1, v_asof=1.0)], "k string, ts long, v_asof double")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left2, right, on=["k"], left_ts="ts", right_ts="ts",
+                  right_cols=["v"])
