@@ -1238,6 +1238,34 @@ def _window_hashes(c: Column, k: int, hasher: str) -> Column:
                       F.array().cast("array<long>"))
 
 
+def _dup_window_hashes(pos, id_col: str, min_docs: int):
+    """Window hashes occurring in >= min_docs DISTINCT documents.
+
+    min_docs == 2 (the standard setting) avoids the distinct-aggregate
+    plan entirely: ">= 2 distinct ids" is exactly min(id) != max(id) —
+    plain partial-combining aggregates that collapse map-side, ONE
+    exchange of ~|distinct hashes| x partitions rows instead of the
+    two-exchange (h, id)-dedup-then-count shape (which at corpus scale
+    re-shuffles the whole exploded window stream)."""
+    if min_docs <= 1:
+        return pos.select("_h").distinct()
+    if min_docs == 2:
+        return (
+            pos.groupBy("_h")
+            .agg(F.min(F.col(id_col)).alias("_a"),
+                 F.max(F.col(id_col)).alias("_b"))
+            .where(F.col("_a") != F.col("_b"))
+            .select("_h")
+        )
+    return (
+        pos.groupBy("_h")
+        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_h")
+    )
+
+
+
 def dup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1297,12 +1325,7 @@ def dup_spans(
         F.col(id_col),
         F.posexplode(_window_hashes(F.col(text_col), k, hasher))
         .alias("_pos", "_h"))
-    dup = (
-        pos.groupBy("_h")
-        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
-        .where(F.col("_df") >= min_docs)
-        .select("_h")
-    )
+    dup = _dup_window_hashes(pos, id_col, min_docs)
     w = Window.partitionBy(id_col).orderBy("_pos")
     prev = F.lag("_pos").over(w)
     inc = F.coalesce(F.least(F.lit(k), F.col("_pos") - prev), F.lit(k))
@@ -1368,12 +1391,7 @@ def remove_dup_spans(
         _window_hashes(F.col(text_col), k, hasher).alias("_wh"),
     )
     pos = base.select(id_col, F.posexplode("_wh").alias("_pos", "_h"))
-    dup = (
-        pos.groupBy("_h")
-        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
-        .where(F.col("_df") >= min_docs)
-        .select("_h")
-    )
+    dup = _dup_window_hashes(pos, id_col, min_docs)
     covered = (
         pos.join(dup, "_h")
         .select(id_col,

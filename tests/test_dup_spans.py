@@ -161,3 +161,37 @@ def test_remove_dup_spans_consistent_with_dup_spans(spark):
         n_clean = (len(removed[d]["clean_text"].split())
                    if removed[d]["clean_text"] else 0)
         assert n_clean + removed[d]["n_removed"] == stats[d]["n_words"]
+
+
+def test_dup_window_min_docs_paths_equivalent(spark):
+    # min_docs=2 fast path (min!=max) must select the same hash set as
+    # the general countDistinct path on a collision-rich corpus
+    from schisma_spark.functions.dedup import (
+        _dup_window_hashes, _window_hashes,
+    )
+
+    vocab = ["a", "b", "c"]
+    state, rows = 3, []
+    for doc in range(20):
+        n = 4 + (doc * 3) % 8
+        toks = []
+        for _ in range(n):
+            state = (state * 1103515245 + 12345) % (2 ** 31)
+            toks.append(vocab[state % len(vocab)])
+        rows.append(Row(doc_id=doc, text=" ".join(toks)))
+    df = spark.createDataFrame(rows)
+    pos = df.select(
+        "doc_id",
+        F.posexplode(_window_hashes(F.col("text"), 3, "portable"))
+        .alias("_pos", "_h"))
+    fast = {r["_h"] for r in _dup_window_hashes(pos, "doc_id", 2).collect()}
+    # force the general path with the same semantics
+    general = {
+        r["_h"] for r in pos.groupBy("_h")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .where(F.col("d") >= 2).select("_h").collect()
+    }
+    assert fast == general and fast  # equal and non-trivial
+    # min_docs=3 still exercises the countDistinct path
+    tri = {r["_h"] for r in _dup_window_hashes(pos, "doc_id", 3).collect()}
+    assert tri <= general
