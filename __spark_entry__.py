@@ -498,6 +498,35 @@ def q_asof_join_events(spark, sf):
     )
 
 
+def q_asof_fwd_events(spark, sf):
+    """FORWARD as-of join (functions/temporal.py, direction='forward'):
+    every click gains the EARLIEST subsequent error state for the same
+    user — the time-to-next-failure shape; clicks after the last error
+    keep NULLs. Same union-tag single-sort plan scanning time
+    descending; DuckDB twin is native ASOF with l.ts <= r.ts."""
+    from schisma_spark.functions import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    j = asof_join(clicks, errors, on=["user_id"], left_ts="ts",
+                  right_ts="ts", right_cols=["err_value"],
+                  direction="forward")
+    lead = (F.unix_micros(F.col("ts_asof").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))) \
+        / F.lit(1_000_000.0)
+    return j.select(
+        "event_id", "user_id",
+        F.col("err_value_asof"),
+        F.round(lead, 6).alias("lead_sec"),
+    )
+
+
 def q_fd_check(spark, sf):
     """Functional-dependency summary (checks/dependency.py): does
     o_custkey -> o_orderpriority hold per customer? (It doesn't —
@@ -1440,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "sessionize_events": q_sessionize_events,
         "asof_join_events": q_asof_join_events,
+        "asof_fwd_events": q_asof_fwd_events,
         "fd_check": q_fd_check,
         "seq_gaps_lineitem": q_seq_gaps_lineitem,
         "monotonic_events": q_monotonic_events,
@@ -2389,6 +2419,18 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, ts, max(value) AS err_value
                   FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_fwd_events": """
+            SELECT l.event_id, l.user_id,
+                   r.err_value AS err_value_asof,
+                   round((epoch_us(r.ts) - epoch_us(l.ts)) / 1e6, 6)::double
+                     AS lead_sec
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, max(value) AS err_value
+                  FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
         "fd_check": """
             SELECT o_custkey::bigint AS o_custkey,

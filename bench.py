@@ -338,7 +338,8 @@ def main():
         "vocab_stats", "vocab_drift", "weighted_sample",
         "decontaminate_pairs", "url_filter", "domain_psl",
         "hash_split", "corpus_diff", "incremental_dedup",
-        "sessionize_events", "asof_join_events", "dup_spans",
+        "sessionize_events", "asof_join_events", "asof_fwd_events",
+        "dup_spans",
         "remove_dup_spans",
         "fd_check", "seq_gaps_lineitem", "monotonic_events",
         "unigram_logprob", "bigram_logprob", "chunk_docs",

@@ -109,20 +109,27 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every left row gains the payload of the latest
-    right row with the same key and ``right_ts <= left_ts`` (NULLs when no
-    prior state exists). DuckDB twin: ``ASOF LEFT JOIN ... ON key AND
-    l.ts >= r.ts`` — at equal timestamps the state DOES match, which the
-    union ordering reproduces by sorting state rows before query rows.
+    """As-of join: every left row gains the payload of the closest right
+    row with the same key — ``direction='backward'`` (default) matches
+    the LATEST state with ``right_ts <= left_ts``, ``'forward'`` the
+    EARLIEST state with ``right_ts >= left_ts`` (pandas ``merge_asof``
+    directions; NULLs when no such state exists). DuckDB twins:
+    ``ASOF LEFT JOIN ... ON key AND l.ts >= r.ts`` / ``l.ts <= r.ts`` —
+    at equal timestamps the state DOES match in both directions, which
+    the union ordering reproduces by sorting state rows before query
+    rows at equal time (forward simply scans time DESCENDING).
 
     Emits every left column, then ``<right_ts><suffix>`` (the matched
     state's timestamp) and each requested right payload column under
     ``<name><suffix>``. Right rows should be unique per (key, ts) —
     pre-aggregate if not, or the carried state is whichever survived the
-    sort. ``tolerance_seconds`` voids matches older than the window
+    sort. ``tolerance_seconds`` voids matches farther than the window
     (pandas ``merge_asof`` semantics): payload AND matched ts go NULL.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     on = list(on)
     if right_cols is None:
         right_cols = [
@@ -161,23 +168,31 @@ def asof_join(
         F.lit(None).cast(r.schema["_state"].dataType).alias("_state"),
         *[F.col(c) for c in left.columns if c not in on],
     )
+    # forward = the same carry-forward scan over DESCENDING time: the
+    # last state seen is then the earliest one at-or-after the query ts;
+    # the tag still orders states before queries at EQUAL time so
+    # equal-ts matches hold in both directions
+    t_order = (F.col("_t").asc() if direction == "backward"
+               else F.col("_t").desc())
     w = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_tag")
+        .orderBy(t_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r.unionByName(l).withColumn(
         "_carried", F.last("_state", ignorenulls=True).over(w)
     )
     out = filled.where(F.col("_tag") == 1)
-    carried = F.col("_carried")
+    # a left row with NULL ts has no defined match in either direction
+    # (it happens to sort first under backward asc, but LAST under
+    # forward desc, where it would grab the earliest state) — void it
+    carried = F.when(F.col("_t").isNotNull(), F.col("_carried"))
     if tolerance_seconds is not None:
         tol_us = int(round(tolerance_seconds * 1_000_000))
-        fresh = (
-            _micros(F.col("_t"))
-            - _micros(carried.getField("_ts"))
-        ) <= F.lit(tol_us)
-        carried = F.when(fresh, carried)
+        gap = _micros(F.col("_t")) - _micros(carried.getField("_ts"))
+        if direction == "forward":
+            gap = -gap
+        carried = F.when(gap <= F.lit(tol_us), carried)
     return out.select(
         *on,
         *[F.col(c) for c in left.columns if c not in on],

@@ -184,3 +184,38 @@ def test_asof_join_rejects_internal_name_collisions(spark):
     with pytest.raises(ValueError, match="collision"):
         asof_join(left2, right, on=["k"], left_ts="ts", right_ts="ts",
                   right_cols=["v"])
+
+
+def test_asof_join_forward(spark):
+    from schisma_spark.functions import asof_join
+
+    right = spark.createDataFrame(
+        [Row(k="a", ts=10, v=1.0), Row(k="a", ts=20, v=2.0)],
+        "k string, ts long, v double")
+    left = spark.createDataFrame(
+        [Row(k="a", id=1, ts=5), Row(k="a", id=2, ts=15),
+         Row(k="a", id=3, ts=25), Row(k="a", id=4, ts=10),
+         Row(k="a", id=5, ts=None)],
+        "k string, id int, ts long")
+    got = {r["id"]: r for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], direction="forward").collect()}
+    assert got[1]["v_asof"] == 1.0 and got[1]["ts_asof"] == 10
+    assert got[2]["v_asof"] == 2.0
+    assert got[3]["v_asof"] is None          # nothing after 25
+    assert got[4]["v_asof"] == 1.0           # equal ts matches forward
+    assert got[5]["v_asof"] is None          # NULL query ts: no match
+    # backward on the same frame: NULL query ts also no match
+    back = {r["id"]: r for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"]).collect()}
+    assert back[5]["v_asof"] is None and back[1]["v_asof"] is None
+    assert back[3]["v_asof"] == 2.0
+
+    # forward tolerance: match farther than the window is voided
+    tol = {r["id"]: r for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], direction="forward",
+        tolerance_seconds=3e-6).collect()}
+    assert tol[2]["v_asof"] is None          # 15 -> 20 is 5us > 3us
+    assert tol[4]["v_asof"] == 1.0           # equal ts, gap 0
