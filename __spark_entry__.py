@@ -338,7 +338,10 @@ def q_validate_json_events(spark, sf):
 
 def q_incremental_validate(spark, sf):
     """Delta-cost revalidation (r6): between two event snapshots only
-    ADDED (+10M ids, some invalid) and CHANGED (%29 repaired, %31 newly
+    ADDED (negative ids — provably disjoint from the natural
+    non-negative id space at ANY scale factor, unlike a +10M offset
+    which collides once max(event_id) reaches 10M) and CHANGED
+    (%29 repaired, %31 newly
     broken) payloads are re-validated; UNCHANGED rows carry their prior
     violations by semi-join; REMOVED rows (%17) drop out. The oracle
     revalidates the FULL new snapshot — the hash match IS the
@@ -360,7 +363,7 @@ def q_incremental_validate(spark, sf):
         .when(eid % 31 == 0, F.lit('{"k": "now-bad"}'))
         .otherwise(F.col("payload")).alias("payload"))
     added = base.where(eid % 19 == 0).select(
-        (eid + 10000000).alias("event_id"),
+        (-eid - 1).alias("event_id"),
         F.when(eid % 38 == 0, F.lit('{"k": "added-bad"}'))
         .otherwise(F.lit('{"k": 3.5}')).alias("payload"))
     v1, v2 = fan_out(v1), fan_out(v2_kept.unionByName(added))
@@ -888,6 +891,14 @@ def q_embedding_curation(spark, sf):
         .when(vid % 89 == 0,
               F.transform(F.col("embedding"),
                           lambda x: F.lit(float("nan")).cast(elem_t)))
+        .when(vid % 83 == 0,
+              # partial-NULL element (failed-encoder slice): the engine
+              # fold nulls out and gates invalid; the oracle must spell
+              # the NULL-element rejection since list_sum SKIPS NULLs
+              F.transform(F.col("embedding"),
+                          lambda x, i: F.when(i == 0,
+                                              F.lit(None).cast(elem_t))
+                          .otherwise(x)))
         .otherwise(F.col("embedding")).alias("embedding"),
     )
     out = embedding_keep_list(planted, "vec_id", "embedding", dim=64,
@@ -1758,12 +1769,16 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN vec_id % 97 = 0 THEN NULL
                       WHEN vec_id % 89 = 0 THEN
                         list_transform(embedding, x -> 'nan'::FLOAT)
+                      WHEN vec_id % 83 = 0 THEN
+                        list_transform(embedding, (x, i) ->
+                          CASE WHEN i = 1 THEN NULL ELSE x END)
                       ELSE embedding END AS embedding
           FROM e0
         ),
         valid AS (
           SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM e
           WHERE embedding IS NOT NULL AND
+                len(list_filter(embedding, x -> x IS NULL)) = 0 AND
                 coalesce(list_sum(list_transform(embedding::DOUBLE[],
                                                  x -> x*x)), 0) > 0 AND
                 isfinite(coalesce(list_sum(list_transform(
@@ -2312,7 +2327,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE p END AS p
               FROM v1 WHERE event_id % 17 != 0
               UNION ALL
-              SELECT event_id + 10000000,
+              SELECT -event_id - 1,
                 CASE WHEN event_id % 38 = 0 THEN '{"k": "added-bad"}'
                      ELSE '{"k": 3.5}' END
               FROM events WHERE event_id % 19 = 0)
@@ -2742,6 +2757,7 @@ def oracle_sql() -> dict[str, str]:
             val AS (
               SELECT vec_id, v FROM src
               WHERE v IS NOT NULL
+                AND len(list_filter(v, x -> x IS NULL)) = 0
                 AND coalesce(list_sum(list_transform(v, x -> x*x)), 0) > 0
                 AND isfinite(coalesce(list_sum(
                       list_transform(v, x -> x*x)), 0))
@@ -2793,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
             cval AS (
               SELECT vec_id, cvec AS v FROM corpus
               WHERE cvec IS NOT NULL
+                AND len(list_filter(cvec, x -> x IS NULL)) = 0
                 AND coalesce(list_sum(list_transform(cvec, x -> x*x)), 0) > 0
                 AND isfinite(coalesce(list_sum(
                       list_transform(cvec, x -> x*x)), 0))
@@ -2800,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
             eval_val AS (
               SELECT eval_id, evec AS v FROM ev
               WHERE evec IS NOT NULL
+                AND len(list_filter(evec, x -> x IS NULL)) = 0
                 AND coalesce(list_sum(list_transform(evec, x -> x*x)), 0) > 0
                 AND isfinite(coalesce(list_sum(
                       list_transform(evec, x -> x*x)), 0))

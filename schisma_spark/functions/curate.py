@@ -95,19 +95,14 @@ def embedding_keep_list(
     pipeline over valid rows only, the iterative cluster pass, one left
     join back; nothing collects beyond the per-round convergence
     scalar."""
-    from schisma_spark.functions.similarity import cosine_near_dups
+    from schisma_spark.functions.similarity import (
+        cosine_near_dups, valid_vector,
+    )
 
-    v = F.col(vec_col)
-    sq_norm = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-    )
-    # finiteness: NaN/Inf norms fail `< inf` under Spark's NaN ordering
-    # (NaN > everything), mirroring DuckDB isfinite() in the oracle
-    valid = (
-        v.isNotNull()
-        & (F.coalesce(sq_norm, F.lit(0.0)) > 0)
-        & (sq_norm < F.lit(float("inf")))
-    )
+    # ONE definition of the failed-encoder gate across every vector
+    # operator (this local copy predated similarity.valid_vector and
+    # could drift — review finding)
+    valid = valid_vector(F.col(vec_col))
     base = df.select(F.col(id_col), valid.alias("_valid"))
     if pairs is None:
         pairs = cosine_near_dups(df.where(valid), id_col, vec_col, dim,

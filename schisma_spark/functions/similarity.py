@@ -297,18 +297,30 @@ def cosine_near_dups(
 
 
 def valid_vector(v: Column) -> Column:
-    """The shared failed-encoder gate: non-NULL, positive AND finite
-    squared norm. NaN/Inf elements make the norm non-finite, and under
-    IEEE ordering (NaN > everything, both Spark and DuckDB) an ungated
-    NaN cosine passes any ``>= threshold`` filter — so every vector
-    operator excludes these rows from its pair/assignment stage. DuckDB
-    twin: ``v IS NOT NULL AND coalesce(list_sum(list_transform(v,
-    x->x*x)),0) > 0 AND isfinite(...)``."""
+    """The shared failed-encoder gate: non-NULL, NO NULL elements,
+    positive AND finite squared norm. NaN/Inf elements make the norm
+    non-finite, and under IEEE ordering (NaN > everything, both Spark
+    and DuckDB) an ungated NaN cosine passes any ``>= threshold``
+    filter — so every vector operator excludes these rows from its
+    pair/assignment stage. A NULL ELEMENT nulls the whole fold
+    (``acc + NULL``), coalesces to 0 and gates INVALID — deliberate
+    (a partially-NULL embedding is a failed encoder); the DuckDB twin
+    must spell that explicitly because ``list_sum`` SKIPS NULLs:
+    ``v IS NOT NULL AND len(list_filter(v, x -> x IS NULL)) = 0 AND
+    coalesce(list_sum(list_transform(v, x->x*x)),0) > 0 AND
+    isfinite(...)``. The O(dim) fold is let-bound (bind) — the three
+    references would otherwise re-run it per row in these interpreted
+    (HOF) filter stages."""
+    from schisma_spark.functions.portable import bind
+
     sq = F.aggregate(
         v, F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    return (v.isNotNull() & (F.coalesce(sq, F.lit(0.0)) > 0)
-            & (sq < F.lit(float("inf"))))
+    return bind(
+        sq,
+        lambda s: (v.isNotNull() & (F.coalesce(s, F.lit(0.0)) > 0)
+                   & (s < F.lit(float("inf")))),
+    )
 
 
 def kmeans_topics(

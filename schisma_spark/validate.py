@@ -228,13 +228,26 @@ def incremental_validate(
     ~2^-64 per changed row) is the accepted miss.
 
     Scale shape: each side reduces to narrow (id, fp) rows before one
-    full-outer id join; validate_fn sees only the delta; payload bytes
-    never shuffle (the semi-joins carry ids only). ``validate_fn`` takes
+    full-outer id join; validate_fn sees only the delta. The delta-ids
+    side of the snapshot semi-join is SMALL BY DESIGN (that is the point
+    of incremental), so AQE broadcasts it and the snapshot's payload
+    stays un-shuffled; with a delta too large to broadcast the semi-join
+    falls back to shuffling the snapshot side — at that delta fraction a
+    full revalidation is the better plan anyway. ``validate_fn`` takes
     the delta DataFrame (same schema as ``new_df``) and must return
     violation rows carrying ``id_col``."""
     if isinstance(payload_cols, str):
         payload_cols = [payload_cols]
-    fp = F.xxhash64(*[F.col(c) for c in payload_cols])
+    # xxhash64 SKIPS NULL children, so without markers a payload value
+    # SHIFTING between columns across a NULL (old=(x, NULL) vs
+    # new=(NULL, x)) would collide deterministically and the changed row
+    # would be carried as unchanged (review finding). The isnull flags
+    # are never NULL, so they always feed the hash.
+    parts = []
+    for c in payload_cols:
+        parts.append(F.isnull(F.col(c)).cast("int"))
+        parts.append(F.col(c))
+    fp = F.xxhash64(*parts)
     a = old_df.select(F.col(id_col), fp.alias("_fp_a"),
                       F.lit(True).alias("_in_a"))
     b = new_df.select(F.col(id_col), fp.alias("_fp_b"),
@@ -248,6 +261,17 @@ def incremental_validate(
     unchanged_ids = j.where(
         in_a & in_b & F.col("_fp_a").eqNullSafe(F.col("_fp_b"))
     ).select(id_col)
-    fresh = validate_fn(new_df.join(delta_ids, id_col, "leftsemi"))
+    # null-safe semi join: a NULL-id new row is classified delta (NULL
+    # keys never match in the full outer join) but a plain `on=id` semi
+    # join would then DROP it from validate_fn's input — incremental
+    # would silently miss its violations (review finding). unchanged_ids
+    # can never contain NULL (it requires a matched join row).
+    fresh = validate_fn(
+        new_df.join(
+            delta_ids.withColumnRenamed(id_col, "_did"),
+            F.col(id_col).eqNullSafe(F.col("_did")),
+            "leftsemi",
+        )
+    )
     carried = prior_violations.join(unchanged_ids, id_col, "leftsemi")
     return fresh.unionByName(carried)

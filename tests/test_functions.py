@@ -1587,9 +1587,12 @@ def test_containment_max_doc_freq_cap(spark):
     from schisma_spark.functions.dedup import containment_near_dups
 
     boiler = "click here to subscribe to our newsletter today"
+    # 3 unique words + the 8-word boiler = 9 trigrams of which the 6
+    # boiler-internal ones are shared -> containment 6/9 = 0.667 >= 0.6,
+    # so filler pairs DO surface uncapped (a longer prefix made the old
+    # version vacuous: 6/13 < 0.6 meant the cap assertion tested nothing)
     rows = [Row(doc_id=i,
-                text=f"unique{i} body{i} words{i} only{i} here{i} "
-                     f"more{i} stuff{i} {boiler}")
+                text=f"unique{i} body{i} words{i} {boiler}")
             for i in range(10)]
     # docs 100/101 share REAL content beyond the boilerplate
     shared = "the quick brown fox jumps over the lazy dog again"
@@ -1606,8 +1609,11 @@ def test_containment_max_doc_freq_cap(spark):
                   max_doc_freq=4).collect()}
     assert (100, 101) in uncapped and (100, 101) in capped
     assert capped[(100, 101)] == uncapped[(100, 101)]
-    # boilerplate-only pairs existed uncapped (10 filler docs all share
-    # the phrase) and are gone under the cap
+    # boilerplate-only pairs DID exist uncapped (10 filler docs share
+    # the phrase above threshold) and are gone under the cap — the
+    # documented recall trade, now actually exercised
+    filler_pairs_uncapped = [p for p in uncapped if p[0] < 10 and p[1] < 10]
+    assert filler_pairs_uncapped, "cap test is vacuous without them"
     filler_pairs_capped = [p for p in capped if p[0] < 10 and p[1] < 10]
     assert filler_pairs_capped == []
 

@@ -82,3 +82,51 @@ def test_incremental_validate_multi_col_fingerprint(spark):
     incremental_validate(old, new, "event_id", ["a", "b"], vfn,
                          prior).collect()
     assert seen == [{2}]
+
+
+def test_incremental_null_shift_between_columns_is_a_change(spark):
+    # review regression: xxhash64 SKIPS NULL children, so a payload value
+    # shifting between columns across a NULL used to collide and the
+    # changed row was carried as unchanged; the isnull-marker fingerprint
+    # must classify it as delta
+    def snap2(rows):
+        return spark.createDataFrame(
+            [Row(event_id=i, a=a, b=b) for i, a, b in rows],
+            "event_id long, a string, b string")
+
+    old = snap2([(1, '{"k": "bad"}', None)])
+    new = snap2([(1, None, '{"k": "bad"}')])
+    seen = []
+
+    def vfn(df):
+        seen.append(df.count())
+        return validate_json(
+            df.withColumn("payload", F.coalesce("a", "b")),
+            "payload", schema(SCH), keys=["event_id"]).violations
+
+    prior = vfn(old)
+    out = incremental_validate(old, new, "event_id", ["a", "b"],
+                               vfn, prior)
+    n = out.count()
+    # the row IS delta: vfn saw it in the incremental pass (second call)
+    assert seen[1] == 1
+    assert n == 1  # fresh violation, not a stale carry + not doubled
+
+
+def test_incremental_null_id_rows_are_validated(spark):
+    # review regression: NULL-id new rows are classified delta but the
+    # plain semi-join dropped them from validate_fn's input
+    old = _snap(spark, [(1, '{"k": 1.0}')])
+    new = spark.createDataFrame(
+        [Row(event_id=1, payload='{"k": 1.0}'),
+         Row(event_id=None, payload='{"k": "bad"}')],
+        "event_id long, payload string")
+
+    def vfn(df):
+        return validate_json(df, "payload", schema(SCH),
+                             keys=["event_id"]).violations
+
+    out = incremental_validate(old, new, "event_id", "payload",
+                               vfn, vfn(old))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["event_id"] is None
