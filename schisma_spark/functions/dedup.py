@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as _T
 
 from schisma_spark.functions.portable import (
     bind, hash32, hash32_native, lit_longs,
@@ -30,6 +31,17 @@ MINHASH_P = 4294967311  # smallest prime > 2^32 (universal-hash modulus;
 #                         doubles as the empty-shingle minhash sentinel)
 H32_SENTINEL = 4294967296  # 2^32: > any hash32 value (empty-shingle min,
 #                            native path)
+
+# connected_components: when the measured edge count right-sizes the
+# iterative phase to this many shuffle partitions or fewer, the loop is
+# scheduler-latency-bound, not data-bound — AQE's per-exchange
+# materialization jobs are pure overhead there (r7, guide §1.2/§2.2) and
+# are turned off for the loop only. At 50k edges/partition this threshold
+# is ~400k edges; override via SPARK_GRAFT_CC_TINY_PARTITIONS.
+import os as _os
+
+_CC_TINY_PARTITIONS = int(
+    _os.environ.get("SPARK_GRAFT_CC_TINY_PARTITIONS", "8"))
 
 
 def _minhash_coefs(n_hashes: int) -> tuple[list[int], list[int]]:
@@ -848,7 +860,27 @@ def connected_components(
     convergence probe is a count aggregate (one scalar to the driver per
     round, never rows). ``stats_out``, when passed, receives
     ``{"rounds": n}`` (property-tested: a 200-node chain with shortcut
-    converges in <= ceil(log2(200)) + 1 rounds)."""
+    converges in <= ceil(log2(200)) + 1 rounds).
+
+    r7 round-trip discipline (guide §1.2/§2): the iterative phase is
+    LATENCY-bound, not data-bound, once the graph is small relative to
+    the cluster — every eager checkpoint under AQE materializes each
+    exchange as its own scheduler round trip, so a 2-round CC on a
+    thousand-edge graph was 25 Spark jobs of pure overhead (measured
+    1.35 s at local[32] on a precomputed pair set). Three changes, all
+    fixpoint-identical:
+
+    - labels seed at ``min(node, min(neighbor))`` — exactly what round 1
+      computed from the identity seed, so one full propagation round
+      (checkpoint + probe + optional jump) disappears;
+    - an empty edge set returns immediately (no loop, no probe);
+    - the loop's shuffle partitioning derives from the measured edge
+      count (``target``), and when that says the graph is tiny
+      (``target <= _CC_TINY_PARTITIONS``) AQE is disabled for the
+      iterative phase only — one job per round instead of one per
+      exchange. At scale ``target`` is large, AQE (and its skew
+      splitting) stays on, and the seed/empty changes are the only
+      difference. Conf is restored in a ``finally``."""
     spark = pairs.sparkSession
     jsc = spark.sparkContext._jsc
 
@@ -856,9 +888,9 @@ def connected_components(
         return {e.getKey() for e in
                 jsc.getPersistentRDDs().entrySet().toArray()}
 
-    def _ckpt(lazy: DataFrame):
+    def _ckpt(lazy: DataFrame, eager: bool = True):
         before = _persistent_ids()
-        ck = lazy.localCheckpoint(eager=True)
+        ck = lazy.localCheckpoint(eager=eager)
         return ck, _persistent_ids() - before
 
     def _free(ids: set) -> None:
@@ -868,12 +900,26 @@ def connected_components(
             if e.getKey() in ids:
                 e.getValue().unpersist(True)
 
+    # symmetric edges PLUS a self-loop per node (r7): the self-loops ride
+    # the same distinct for free and make one propagation round a single
+    # join+groupBy — min over (self ∪ neighbors) — instead of a join,
+    # groupBy and a second join back to the labels. One reference to the
+    # labels frame per step is also what keeps the batched rounds below
+    # LINEAR in plan size (a two-reference step doubles the lazy plan per
+    # chained step — 2^k analysis blowup, measured 26 s at batch 8).
     edges, eids = _ckpt(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"),
                          F.col(a_col).alias("dst")))
-        .distinct()
+        .unionByName(
+            pairs.select(F.col(a_col).alias("src"),
+                         F.col(a_col).alias("dst")))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"),
+                         F.col(b_col).alias("dst")))
+        .distinct(),
+        eager=False,  # the count below materializes it in the same job
     )
     # right-size the graph frames ONCE (r5): the pair graph is sparse
     # relative to the corpus (most docs never pair), and localCheckpoint
@@ -882,70 +928,144 @@ def connected_components(
     # graph collapsed to thousands of edges would carry thousands of
     # near-empty tasks into EVERY round at production partition counts.
     # The count is one cheap job over already-materialized checkpoint
-    # blocks. (Measured flat at test SF — there the per-round wall is
-    # driver/job overhead, not task count; this guards the at-scale
-    # shape.)
+    # blocks.
     n_edges = edges.count()
+    if n_edges == 0:
+        _free(eids)
+        if stats_out is not None:
+            stats_out["rounds"] = 0
+        node_t = pairs.schema[a_col].dataType
+        return spark.createDataFrame([], _T.StructType([
+            _T.StructField("node", node_t), _T.StructField("component", node_t),
+        ]))
     target = max(1, min(edges.rdd.getNumPartitions(),
                         (n_edges // 50_000) + 1))
-    if target < edges.rdd.getNumPartitions():
-        resized, rids = _ckpt(edges.repartition(target, "dst"))
-        _free(eids)
-        edges, eids = resized, rids
-    labels, lids = _ckpt(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
-    converged = False
-    rounds = 0
-    for _ in range(max_iterations):
-        rounds += 1
-        neigh_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy(F.col("src").alias("node2"))
-            .agg(F.min("component").alias("neigh_component"))
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    tiny = target <= _CC_TINY_PARTITIONS
+    try:
+        if tiny:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(target))
+        pending_free: set = set()
+        if target < edges.rdd.getNumPartitions():
+            # lazy resize: materialized by the first probe job; the old
+            # edges blocks can only be freed AFTER that (localCheckpoint
+            # truncates lineage — freeing a parent before the child
+            # materializes would lose the data), so the free is deferred
+            resized, rids = _ckpt(edges.repartition(target, "dst"),
+                                  eager=False)
+            pending_free = eids
+            edges, eids = resized, rids
+        # seed = propagation round 1 from the identity labeling: min over
+        # (self ∪ 1-hop neighborhood) — the self-loops make this the
+        # plain groupBy min. The node set is identical to the old
+        # select(src).distinct(); one whole round's checkpoint + probe +
+        # (in shortcut mode) jump never happens. LAZY checkpoint: the
+        # first probe job materializes seed and round-1 labels together.
+        labels, lids = _ckpt(
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst").alias("component")),
+            eager=False,
         )
-        new_labels, new_ids = _ckpt(
-            labels.join(neigh_min, labels["node"] == neigh_min["node2"],
-                        "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neigh_component"),
-                               F.col("component")),
-                ).alias("component"),
-                (F.coalesce(F.col("neigh_component"), F.col("component"))
-                 < F.col("component")).cast("int").alias("_chg"),
+
+        def _propagate(cur: DataFrame) -> DataFrame:
+            # ONE reference to ``cur``: min over (self ∪ neighbors) via
+            # the self-loop edges — lazy chains of this step grow
+            # linearly, so batching k rounds into one job is safe
+            return (
+                edges.join(cur, edges["dst"] == cur["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("component").alias("component"))
             )
-        )
-        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
-        if shortcut and changed > 0:
-            # pointer jump on the checkpointed step-1 labels (a self-join
-            # of a LAZY frame would recompute the whole step twice); the
-            # left join is total — label values are node ids — coalesce
-            # is belt-and-braces
-            lk = new_labels.select(F.col("node").alias("_ln"),
-                                   F.col("component").alias("_lc"))
-            jumped, jumped_ids = _ckpt(
-                new_labels.join(lk, new_labels["component"] == lk["_ln"],
-                                "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("_lc"), F.col("component"))
-                    .alias("component"),
+
+        def _S():
+            return F.sum(F.col("component").cast("decimal(38,0)"))
+
+        def _sum_probe(ck: DataFrame):
+            # ONE action = materialize the lazy checkpoint AND read the
+            # convergence signal. Exactness: propagation only ever
+            # DECREASES labels (min over a set containing the old value),
+            # so the labels are unchanged iff sum(component) is unchanged
+            # between probes. decimal(38,0) cannot overflow: at most 2^63
+            # nodes x 2^63 max |id| = 8.5e37 < 1e38.
+            return ck.agg(_S()).collect()[0][0]
+
+        def _sum_probe2(prev: DataFrame, ck: DataFrame):
+            # first probe: the previous sum is unknown — fetch BOTH sums
+            # in one action (a one-row crossJoin of two aggregates), so a
+            # graph already converged at the seed is detected on the
+            # first probe, exactly like the old per-round change counter
+            row = (prev.agg(_S().alias("_s0"))
+                   .crossJoin(ck.agg(_S().alias("_s1")))).collect()[0]
+            return row["_s0"], row["_s1"]
+
+        converged = False
+        rounds = 1
+        batch = 1
+        prev_sum = None  # unknown seed sum: the first probe always
+        #                  counts as changed (an already-converged seed
+        #                  costs one verification round, as before)
+        while rounds < max_iterations:
+            # batched propagation (tiny/latency-bound regime, plain mode
+            # only): run ``steps`` propagation rounds in ONE job and
+            # probe once. Correctness of the batch-level probe:
+            # propagation is deterministic, so an unchanged sum across
+            # the batch means the FINAL step was a no-op on a fixpoint —
+            # detection is exact, it just fires on the step where it
+            # happened. The geometric ramp (1, 2, 4, 8) bounds overshoot
+            # past the fixpoint at <= 2x while collapsing a d-round
+            # chain to O(log d) probes; the common 2-round near-dup
+            # graph runs exactly as before.
+            steps = (1 if (shortcut or not tiny)
+                     else min(batch, max_iterations - rounds, 8))
+            cur = labels
+            for _s in range(steps):
+                cur = _propagate(cur)
+            new_labels, new_ids = _ckpt(cur, eager=False)
+            rounds += steps
+            if prev_sum is None:
+                prev_sum, s = _sum_probe2(labels, new_labels)
+            else:
+                s = _sum_probe(new_labels)
+            changed = s != prev_sum
+            prev_sum = s
+            if pending_free:
+                _free(pending_free)  # resize input; now materialized past
+                pending_free = set()
+            if shortcut and changed:
+                # pointer jump on the materialized step labels (a
+                # self-join of a LAZY frame would recompute the whole
+                # step twice); the left join is total — label values are
+                # node ids — coalesce is belt-and-braces. The jump also
+                # only decreases labels, so probing ITS sum keeps the
+                # next round's convergence comparison exact.
+                lk = new_labels.select(F.col("node").alias("_ln"),
+                                       F.col("component").alias("_lc"))
+                jumped, jumped_ids = _ckpt(
+                    new_labels.join(lk, new_labels["component"] == lk["_ln"],
+                                    "left")
+                    .select(
+                        "node",
+                        F.coalesce(F.col("_lc"), F.col("component"))
+                        .alias("component"),
+                    ),
+                    eager=False,
                 )
-            )
-            _free(new_ids)
-            new_labels, new_ids = jumped, jumped_ids
-        else:
-            new_labels = new_labels.drop("_chg")
-        _free(lids)
-        labels, lids = new_labels, new_ids
-        if changed == 0:
-            converged = True
-            break
+                prev_sum = _sum_probe(jumped)
+                _free(new_ids)
+                new_labels, new_ids = jumped, jumped_ids
+            _free(lids)
+            labels, lids = new_labels, new_ids
+            if not changed:
+                converged = True
+                break
+            if rounds >= 2:
+                batch = min(batch * 2, 8)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
     _free(eids)
     if stats_out is not None:
         stats_out["rounds"] = rounds

@@ -43,6 +43,19 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _pair_cos(a: Column, b: Column, na: Column, nb: Column,
+              round_to: int | None) -> Column:
+    """``cosine_sim`` with the two norms PRECOMPUTED per vector row (r7,
+    guide §2.3): the verify stage of every candidate-pair operator used
+    to run three interpreted 64-element folds per PAIR (dot + both
+    norms); carrying ``_norm`` on the id-side projections makes it one
+    fold per pair and one per vector. Same values bit-exactly — the norm
+    columns are the identical fold expression evaluated on the same row,
+    and the ``dot / (na * nb)`` op order matches ``cosine_sim``."""
+    c = _dot(a, b) / (na * nb)
+    return F.round(c, round_to) if round_to is not None else c
+
+
 def brute_force_topk(
     df: DataFrame,
     probes: DataFrame,
@@ -56,13 +69,15 @@ def brute_force_topk(
     result is fully deterministic (oracle-hashable)."""
     p = F.broadcast(
         probes.select(
-            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"),
+            _norm(F.col(vec_col)).alias("_pn"),
         )
     )
-    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
-    cos = cosine_sim(F.col("_pv"), F.col("_nv"))
-    if round_to is not None:
-        cos = F.round(cos, round_to)
+    base = df.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("_nv"),
+                     _norm(F.col(vec_col)).alias("_nn"))
+    cos = _pair_cos(F.col("_pv"), F.col("_nv"), F.col("_pn"), F.col("_nn"),
+                    round_to)
     scored = (
         p.crossJoin(base)
         .where(F.col("probe_id") != F.col("neighbor_id"))
@@ -284,11 +299,12 @@ def cosine_near_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    cos = cosine_sim(F.col("_va"), F.col("_vb"))
-    if round_to is not None:
-        cos = F.round(cos, round_to)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                   _norm(F.col(vec_col)).alias("_na"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                   _norm(F.col(vec_col)).alias("_nb"))
+    cos = _pair_cos(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"),
+                    round_to)
     return (
         cands.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cos"))
@@ -455,12 +471,13 @@ def embedding_decontaminate(
     cands = (cb.join(eb, on=["table_id", "bucket"])
              .select("_cid", "_eid").distinct())
     cv = corpus.select(F.col(id_col).alias("_cid"),
-                       F.col(vec_col).alias("_cv"))
+                       F.col(vec_col).alias("_cv"),
+                       _norm(F.col(vec_col)).alias("_cn"))
     ev = eval_df.select(F.col(eval_id_col).alias("_eid"),
-                        F.col(eval_vec_col).alias("_ev"))
-    cos = cosine_sim(F.col("_cv"), F.col("_ev"))
-    if round_to is not None:
-        cos = F.round(cos, round_to)
+                        F.col(eval_vec_col).alias("_ev"),
+                        _norm(F.col(eval_vec_col)).alias("_en"))
+    cos = _pair_cos(F.col("_cv"), F.col("_ev"), F.col("_cn"), F.col("_en"),
+                    round_to)
     hits = (cands.join(cv, "_cid").join(ev, "_eid")
             .select("_cid", cos.alias("_cos"))
             .where(F.col("_cos") >= threshold)
@@ -672,14 +689,17 @@ def ivf_ann_topk(
     base = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_nv"),
+        _norm(F.col(vec_col)).alias("_nn"),
         cell.alias("cell"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pv"),
+        _norm(F.col(vec_col)).alias("_pn"),
         F.explode(F.transform(probe_cells, lambda x: x["c"])).alias("cell"),
     )
-    cos = F.round(cosine_sim(F.col("_pv"), F.col("_nv")), round_to)
+    cos = _pair_cos(F.col("_pv"), F.col("_nv"), F.col("_pn"), F.col("_nn"),
+                    round_to)
     scored = (
         p.join(base, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
@@ -756,12 +776,13 @@ def lsh_ann_topk(
         .distinct()
     )
     pv = probes.select(F.col(id_col).alias("probe_id"),
-                       F.col(vec_col).alias("_pv"))
+                       F.col(vec_col).alias("_pv"),
+                       _norm(F.col(vec_col)).alias("_pn"))
     nv = df.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("_nv"))
-    cos = cosine_sim(F.col("_pv"), F.col("_nv"))
-    if round_to is not None:
-        cos = F.round(cos, round_to)
+                   F.col(vec_col).alias("_nv"),
+                   _norm(F.col(vec_col)).alias("_nn"))
+    cos = _pair_cos(F.col("_pv"), F.col("_nv"), F.col("_pn"), F.col("_nn"),
+                    round_to)
     scored = (
         cands.join(pv, "probe_id")
         .join(nv, "neighbor_id")
