@@ -293,6 +293,80 @@ def cap_bucket_size(banded: DataFrame, key_cols: list[str], id_col: str,
     )
 
 
+def _bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+    max_bucket_size: int | None = None,
+    drop_over: int | None = None,
+) -> DataFrame:
+    """``id_a < id_b`` candidate pairs per bucket from ONE evaluation of
+    ``banded`` (r7, guide §2.3/§2.4).
+
+    The renamed-branch self-join evaluated the banded frame — and the
+    signature/shingle expression feeding it — once per join side: Spark
+    plans trees, not DAGs, and the rename below the exchange defeats
+    ReusedExchange (measured: no reuse fires on any rename/alias/
+    pre-repartition shape). ``groupBy(bucket).collect_list`` + two
+    STREAMED explodes builds the same a<b pair set with one evaluation
+    and one shuffle instead of two. Per-bucket memory is O(bucket size)
+    ids (+ small payloads) in one row — the same degenerate-bucket
+    exposure the self-join had as single-task skew, with the same guard:
+    ``max_bucket_size`` keeps the deterministic (xxhash, id)-ordered
+    sample the row_number window kept (identical rows). ``drop_over``
+    drops buckets larger than the bound outright (the inverted-index
+    ``max_doc_freq`` semantics). NULL bucket keys and NULL ids drop
+    exactly as the inner self-join dropped them.
+
+    With ``payload_cols``, the output carries ``<c>_a`` / ``<c>_b``.
+    Pairs can repeat across buckets (same as the join) — dedup or count
+    downstream."""
+    cond = F.col(id_col).isNotNull()
+    for c in key_cols:
+        cond = cond & F.col(c).isNotNull()
+    fields = [F.col(id_col).alias("_bpid")] + [F.col(c) for c in
+                                               payload_cols]
+    if max_bucket_size is not None:
+        item = F.struct(F.xxhash64(*key_cols, id_col).alias("_ord"),
+                        *fields)
+    else:
+        item = F.struct(*fields)
+    grouped = (
+        banded.where(cond)
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.collect_list(item).alias("_items"))
+        .where(F.size("_items") >= 2)
+    )
+    if drop_over is not None:
+        grouped = grouped.where(F.size("_items") <= drop_over)
+    items = F.array_sort(F.col("_items"))
+    if max_bucket_size is not None:
+        # keep the (xxhash, id)-ordered deterministic sample, then strip
+        # the sort key and re-sort by id so the generation below emits
+        # id_a < id_b directly
+        inner = ["_bpid", *payload_cols]
+        items = F.array_sort(
+            F.transform(
+                F.slice(items, 1, max_bucket_size),
+                lambda s: F.struct(*[s[f].alias(f) for f in inner]),
+            )
+        )
+    srt = grouped.select(items.alias("_sorted"))
+    a = srt.select(F.posexplode("_sorted").alias("_i", "_a"),
+                   F.col("_sorted"))
+    pairs = a.select(
+        F.col("_a"),
+        F.explode(F.slice(F.col("_sorted"), F.col("_i") + 2,
+                          F.size("_sorted"))).alias("_b"),
+    )
+    out = [F.col("_a._bpid").alias("id_a"), F.col("_b._bpid").alias("id_b")]
+    for c in payload_cols:
+        out.append(F.col(f"_a.{c}").alias(f"{c}_a"))
+        out.append(F.col(f"_b.{c}").alias(f"{c}_b"))
+    return pairs.select(*out)
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups by normalized-text fingerprint:
     ``fp, n_dups, min_id`` for groups of size >= 2. Only (fp, id) shuffles."""
@@ -488,17 +562,11 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("_id"),
         F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_idx", "band_hash"),
     )
-    banded = cap_bucket_size(banded, ["band_idx", "band_hash"], "_id",
-                             max_bucket_size)
-    left = banded.select(
-        F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_a")
-    )
-    right = banded.select(
-        F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_b")
-    )
+    # grouped pair generation (r7): ONE evaluation of the signature
+    # expression instead of one per self-join side — see _bucket_pairs
     return (
-        left.join(right, on=["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(banded, ["band_idx", "band_hash"], "_id",
+                      max_bucket_size=max_bucket_size)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -598,33 +666,41 @@ def containment_near_dups(
     ``minhash_near_dups``'s verify stage)."""
     h32 = hash32_native if hasher == "native" else hash32
     base = df.where(F.size(words(F.col(text_col))) >= shingle_k)
-    hs = base.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.transform(word_shingles(F.col(text_col), shingle_k),
-                        lambda s: h32(s))
-        ).alias("hs"),
-    )
-    inv = hs.select("_id", F.explode("hs").alias("h"))
-    if max_doc_freq is not None:
-        hot = (inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-               .where(F.col("_df") > max_doc_freq).select("h"))
-        inv = inv.join(hot, "h", "left_anti")
+
+    def hashed(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), shingle_k),
+                            lambda s: h32(s))
+            ).alias("hs"),
+        )
+
+    inv = hashed(base).select("_id", F.explode("hs").alias("h"))
+    # grouped pair generation (r7): the inverted-index self-join
+    # evaluated the md5 shingle pass once per side (and the old
+    # max_doc_freq anti-join a third time); _bucket_pairs hashes the
+    # corpus ONCE, and max_doc_freq becomes a free filter on the bucket
+    # size (identical semantics: a shingle in more than max_doc_freq
+    # docs contributes no candidates)
     cands = (
-        inv.select(F.col("h"), F.col("_id").alias("id_a"))
-        .join(inv.select(F.col("h"), F.col("_id").alias("id_b")), "h")
-        .where(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(inv, ["h"], "_id", drop_over=max_doc_freq)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared"))
         .where(F.col("_shared") >= min_shared)
         .select("id_a", "id_b")
     )
     cand_ids = (
-        cands.select(F.col("id_a").alias("_id"))
-        .unionByName(cands.select(F.col("id_b").alias("_id")))
+        cands.select(F.col("id_a").alias("_cid"))
+        .unionByName(cands.select(F.col("id_b").alias("_cid")))
         .distinct()
     )
-    full = hs.join(cand_ids, "_id", "leftsemi")
+    # semi-join BEFORE hashing (the minhash_near_dups lesson): the
+    # verify side re-hashes only documents that appear in a candidate
+    # pair, not the whole corpus
+    full = hashed(
+        base.join(cand_ids,
+                  F.col(id_col) == F.col("_cid"), "leftsemi"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
 
     def body(i: Column) -> Column:
@@ -980,33 +1056,32 @@ def connected_components(
                 .agg(F.min("component").alias("component"))
             )
 
-        def _S():
-            return F.sum(F.col("component").cast("decimal(38,0)"))
-
-        def _sum_probe(ck: DataFrame):
-            # ONE action = materialize the lazy checkpoint AND read the
-            # convergence signal. Exactness: propagation only ever
-            # DECREASES labels (min over a set containing the old value),
-            # so the labels are unchanged iff sum(component) is unchanged
-            # between probes. decimal(38,0) cannot overflow: at most 2^63
-            # nodes x 2^63 max |id| = 8.5e37 < 1e38.
-            return ck.agg(_S()).collect()[0][0]
-
-        def _sum_probe2(prev: DataFrame, ck: DataFrame):
-            # first probe: the previous sum is unknown — fetch BOTH sums
-            # in one action (a one-row crossJoin of two aggregates), so a
-            # graph already converged at the seed is detected on the
-            # first probe, exactly like the old per-round change counter
-            row = (prev.agg(_S().alias("_s0"))
-                   .crossJoin(ck.agg(_S().alias("_s1")))).collect()[0]
-            return row["_s0"], row["_s1"]
+        def _propagate_chg(cur: DataFrame) -> DataFrame:
+            # final step of a batch: also flag per-node label changes —
+            # works for ANY orderable id type (numeric-sum probes do
+            # not: node ids can be strings). References ``cur`` twice,
+            # which is bounded: only the last step of a batch doubles
+            # the linear chain.
+            neigh_min = (
+                edges.join(cur, edges["dst"] == cur["node"])
+                .groupBy(F.col("src").alias("node2"))
+                .agg(F.min("component").alias("neigh_component"))
+            )
+            return cur.join(neigh_min, cur["node"] == neigh_min["node2"],
+                            "left").select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neigh_component"),
+                               F.col("component")),
+                ).alias("component"),
+                (F.coalesce(F.col("neigh_component"), F.col("component"))
+                 < F.col("component")).cast("int").alias("_chg"),
+            )
 
         converged = False
         rounds = 1
         batch = 1
-        prev_sum = None  # unknown seed sum: the first probe always
-        #                  counts as changed (an already-converged seed
-        #                  costs one verification round, as before)
         while rounds < max_iterations:
             # batched propagation (tiny/latency-bound regime, plain mode
             # only): run ``steps`` propagation rounds in ONE job and
@@ -1021,26 +1096,23 @@ def connected_components(
             steps = (1 if (shortcut or not tiny)
                      else min(batch, max_iterations - rounds, 8))
             cur = labels
-            for _s in range(steps):
+            for _s in range(steps - 1):
                 cur = _propagate(cur)
+            cur = _propagate_chg(cur)
             new_labels, new_ids = _ckpt(cur, eager=False)
             rounds += steps
-            if prev_sum is None:
-                prev_sum, s = _sum_probe2(labels, new_labels)
-            else:
-                s = _sum_probe(new_labels)
-            changed = s != prev_sum
-            prev_sum = s
+            # ONE action: materializes the lazy checkpoint AND reads the
+            # change count (a no-op FINAL step proves the fixpoint, so
+            # batch-level detection is exact)
+            changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
             if pending_free:
                 _free(pending_free)  # resize input; now materialized past
                 pending_free = set()
-            if shortcut and changed:
+            if shortcut and changed > 0:
                 # pointer jump on the materialized step labels (a
                 # self-join of a LAZY frame would recompute the whole
                 # step twice); the left join is total — label values are
-                # node ids — coalesce is belt-and-braces. The jump also
-                # only decreases labels, so probing ITS sum keeps the
-                # next round's convergence comparison exact.
+                # node ids — coalesce is belt-and-braces
                 lk = new_labels.select(F.col("node").alias("_ln"),
                                        F.col("component").alias("_lc"))
                 jumped, jumped_ids = _ckpt(
@@ -1050,15 +1122,15 @@ def connected_components(
                         "node",
                         F.coalesce(F.col("_lc"), F.col("component"))
                         .alias("component"),
-                    ),
-                    eager=False,
+                    )
                 )
-                prev_sum = _sum_probe(jumped)
                 _free(new_ids)
                 new_labels, new_ids = jumped, jumped_ids
+            else:
+                new_labels = new_labels.drop("_chg")
             _free(lids)
             labels, lids = new_labels, new_ids
-            if not changed:
+            if changed == 0:
                 converged = True
                 break
             if rounds >= 2:
@@ -1256,15 +1328,11 @@ def hamming_near_dups(
     banded = s.select(
         "_id", "sig", F.posexplode(bands).alias("band_idx", "band_val")
     )
-    banded = cap_bucket_size(banded, ["band_idx", "band_val"], "_id",
-                             max_bucket_size)
-    a = banded.select("band_idx", "band_val", F.col("_id").alias("id_a"),
-                      F.col("sig").alias("sig_a"))
-    b = banded.select("band_idx", "band_val", F.col("_id").alias("id_b"),
-                      F.col("sig").alias("sig_b"))
+    # grouped pair generation (r7): one evaluation of the signature, one
+    # shuffle — the sig rides the bucket items, so no verify join either
     return (
-        a.join(b, on=["band_idx", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(banded, ["band_idx", "band_val"], "_id",
+                      payload_cols=("sig",), max_bucket_size=max_bucket_size)
         .select("id_a", "id_b",
                 F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
                 .alias("hamming"))
@@ -1314,15 +1382,10 @@ def simhash_near_dups(
     banded = s.select(
         "_id", "sig", F.posexplode(bands).alias("band_idx", "band_val")
     )
-    banded = cap_bucket_size(banded, ["band_idx", "band_val"], "_id",
-                             max_bucket_size)
-    a = banded.select("band_idx", "band_val", F.col("_id").alias("id_a"),
-                      F.col("sig").alias("sig_a"))
-    b = banded.select("band_idx", "band_val", F.col("_id").alias("id_b"),
-                      F.col("sig").alias("sig_b"))
+    # grouped pair generation (r7) — see _bucket_pairs
     return (
-        a.join(b, on=["band_idx", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(banded, ["band_idx", "band_val"], "_id",
+                      payload_cols=("sig",), max_bucket_size=max_bucket_size)
         .select("id_a", "id_b",
                 hamming32(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)

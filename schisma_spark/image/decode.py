@@ -59,7 +59,9 @@ def _check_one(image_id, data, fmt, w, h) -> dict:
     if fmt in LOSSY_FMTS:
         out["pixels_ok"] = out["psnr_db"] >= PSNR_MIN_DB
     else:
-        out["pixels_ok"] = bool(np.array_equal(px, ref))
+        # exact equality ⟺ zero MSE ⟺ psnr inf (shapes match by
+        # construction) — the separate np.array_equal pass is redundant
+        out["pixels_ok"] = p == float("inf")
     return out
 
 

@@ -45,9 +45,10 @@ def _dct_mat(n: int) -> np.ndarray:
     return m
 
 
-def _resize_bilinear(a: np.ndarray, n: int) -> np.ndarray:
-    """(h, w) float -> (n, n) float, separable bilinear."""
-    h, w = a.shape
+@lru_cache(maxsize=32)
+def _resize_grid(h: int, w: int, n: int):
+    """Bilinear sample indices/weights — pure function of the shapes,
+    cached (r7: linspace/floor/minimum per image was ~30% of the hash)."""
     ys = np.linspace(0, h - 1, n)
     xs = np.linspace(0, w - 1, n)
     y0 = np.floor(ys).astype(int)
@@ -56,19 +57,31 @@ def _resize_bilinear(a: np.ndarray, n: int) -> np.ndarray:
     x0 = np.floor(xs).astype(int)
     x1 = np.minimum(x0 + 1, w - 1)
     fx = xs - x0
+    return y0, y1, fy, x0, x1, fx
+
+
+def _resize_bilinear(a: np.ndarray, n: int) -> np.ndarray:
+    """(h, w) float -> (n, n) float, separable bilinear."""
+    h, w = a.shape
+    y0, y1, fy, x0, x1, fx = _resize_grid(h, w, n)
     rows = a[y0] * (1 - fy) + a[y1] * fy           # (n, w)
     return rows[:, x0] * (1 - fx) + rows[:, x1] * fx
 
 
 def phash64_pixels(px: np.ndarray) -> int:
-    """Signed-int64 perceptual hash of an (h, w, 3) uint8 image."""
-    gray = px.astype(np.float64).mean(axis=2)
+    """Signed-int64 perceptual hash of an (h, w, 3) uint8 image.
+
+    r7 micro-shape (values bit-identical): channel mean via one integer
+    add.reduce (r+g+b is exact in float64 in any order, same /3.0);
+    median of the 63 AC coefficients is the middle order statistic of an
+    odd-length array — one np.partition instead of np.median's
+    nan-checking wrapper; DC drop is a slice view, not np.delete's copy."""
+    gray = np.add.reduce(px, axis=2, dtype=np.float64) / 3.0
     small = _resize_bilinear(gray, PHASH_SIZE)
     m = _dct_mat(PHASH_SIZE)
     coefs = m @ small @ m.T
-    low = coefs[:PHASH_LOW, :PHASH_LOW].flatten()
-    low = np.delete(low, 0)                        # drop DC
-    med = np.median(low)
+    low = coefs[:PHASH_LOW, :PHASH_LOW].ravel()[1:]  # drop DC; 63 coefs
+    med = np.partition(low, 31)[31]                  # exact odd median
     bits = low > med
     v = 0
     for b in np.nonzero(bits)[0]:

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from schisma_spark.compiler import Opts, viol
+from schisma_spark.compiler import Opts, empty_varr, viol
 from schisma_spark.dsl import Field, schema as make_schema
 from schisma_spark.functions.portable import bind
 from schisma_spark.result import INVALID, VIOLATION_FIELDS
@@ -101,12 +101,6 @@ def validate_json_recursive(
 
     col = F.col(json_col)
     parsed = F.try_parse_json(col)
-    malformed = df.where(col.isNotNull() & parsed.isNull()).select(
-        *keys,
-        viol(INVALID, where=None, expected="json",
-             received=F.substring(col, 1, 64),
-             message="malformed json").alias("_x"),
-    ).select(*keys, "_x.*")
 
     def root_frontier(src: DataFrame) -> DataFrame:
         return (
@@ -143,9 +137,9 @@ def validate_json_recursive(
         return {e.getKey() for e in
                 jsc.getPersistentRDDs().entrySet().toArray()}
 
-    def _ckpt(lazy: DataFrame):
+    def _ckpt(lazy: DataFrame, eager: bool = True):
         before = _persistent_ids()
-        ck = lazy.localCheckpoint(eager=True)
+        ck = lazy.localCheckpoint(eager=eager)
         return ck, _persistent_ids() - before
 
     def _free(ids: set) -> None:
@@ -153,45 +147,72 @@ def validate_json_recursive(
             if e.getKey() in ids:
                 e.getValue().unpersist(True)
 
-    def materialize(lazy: DataFrame) -> DataFrame:
-        """Force a small RESULT frame (violations / carriers / boundary
-        paths) with its lineage cut; these are output-sized and stay
-        cached — they ARE the return value. Checkpoint FIRST, then test
-        emptiness on the cheap checkpointed data (isEmpty on the lazy
-        frame would evaluate the whole check expression a second time);
-        a zero-row level frees its blocks deterministically and returns a
-        lineage-free empty (nothing retained, nothing re-scanned)."""
-        ck, ids = _ckpt(lazy)
-        if ck.isEmpty():
-            _free(ids)
-            return spark.createDataFrame([], lazy.schema)
-        return ck
-
-    # ONE checkpoint job per level (r4): the check expression and the
-    # child extraction both re-parse the frontier's variants, and the old
-    # shape additionally materialized the root frontier and every next
-    # frontier as their own jobs — three heavy evaluations per level.
-    # Now each level runs exactly one job: a COMBINED checkpoint
-    # (violations array + child array) computed from a LAZY frontier that
-    # is a cheap explode-projection over the PREVIOUS level's checkpoint
-    # (lineage depth stays constant — one step above a checkpoint);
-    # violations and the next frontier derive from the checkpointed data.
-    # Block discipline unchanged: combined L-1 is freed as soon as
-    # combined L exists, so at most two level frames are ever held.
-    level_viols: list[DataFrame] = [malformed]
-    pending = root_frontier(df)  # lazy; evaluated inside L0's checkpoint
-    prev_ids: set = set()
-    depth = 0
-    while True:
+    # ONE ACTION per level (r7; r4 had one eager checkpoint + three probe
+    # jobs): the combined frame (violations array + child array) is
+    # LAZY-checkpointed and a single stats aggregate — row count,
+    # has-violations count, has-children count — both materializes it
+    # and steers the loop. ``nv == 0`` skips the per-level violations
+    # checkpoint outright; ``nc == 0`` ends the descent without paying a
+    # probe on the empty next frontier. Level 0 additionally folds the
+    # malformed-JSON violation into its projection (one let-bound parse),
+    # where the old shape ran a second full scan+parse of the corpus at
+    # collect time just to find malformed rows. Block discipline
+    # unchanged: combined L-1 is freed as soon as combined L exists.
+    def next_combined(pending: DataFrame) -> DataFrame:
         res = check_variant_node(level, F.col("_v"), F.col("_where"), opts)
         arr = F.try_variant_get(F.col("_v"), f"$.{recurse_field}",
                                 "array<variant>")
-        combined, cids = _ckpt(pending.select(
+        return pending.select(
             *keys, "_where",
             res.viols.alias("_viols"), arr.alias("_ch"),
-        ))
+        )
+
+    def root_level_combined(src: DataFrame) -> DataFrame:
+        # level 0 with the malformed check FOLDED IN: one let-bound
+        # try_parse_json per row however many references the check hangs
+        # off it (the validate_variant _root lesson). NULL input -> no
+        # violations; malformed -> the reference's single INVALID row;
+        # else the level check. Saves the separate malformed frame that
+        # re-scanned and re-parsed the whole corpus at collect time.
+        def body(vv: Column) -> Column:
+            res = check_variant_node(level, vv,
+                                     F.lit(None).cast("string"), opts)
+            arr = F.try_variant_get(vv, f"$.{recurse_field}",
+                                    "array<variant>")
+            mal = viol(INVALID, where=None, expected="json",
+                       received=F.substring(col, 1, 64),
+                       message="malformed json")
+            return F.struct(
+                F.when(col.isNull(), empty_varr())
+                .when(vv.isNull(), F.array(mal))
+                .otherwise(res.viols).alias("v"),
+                F.when(vv.isNotNull(), arr).alias("ch"),
+            )
+
+        return (
+            src.select(*keys, F.lit(None).cast("string").alias("_where"),
+                       bind(F.try_parse_json(col), body).alias("_c"))
+            .select(*keys, "_where", F.col("_c.v").alias("_viols"),
+                    F.col("_c.ch").alias("_ch"))
+        )
+
+    level_viols: list[DataFrame] = []
+    prev_ids: set = set()
+    depth = 0
+    combined_lazy = None
+    while True:
+        if combined_lazy is None:
+            combined_lazy = root_level_combined(df)
+        combined, cids = _ckpt(combined_lazy, eager=False)
+        stats = combined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum((F.size("_viols") > 0).cast("long")),
+                       F.lit(0)).alias("nv"),
+            F.coalesce(F.sum(F.col("_ch").isNotNull().cast("long")),
+                       F.lit(0)).alias("nc"),
+        ).collect()[0]
         _free(prev_ids)  # level L-1's blocks die here
-        if combined.isEmpty():
+        if stats["n"] == 0:
             _free(cids)
             break
         # guard AFTER the emptiness test (r4 review): a corpus whose
@@ -203,13 +224,18 @@ def validate_json_recursive(
                 f"document depth exceeds max_depth={max_depth}; raise the "
                 "guard if this corpus is genuinely that deep"
             )
-        level_viols.append(materialize(
-            combined.where(F.size("_viols") > 0)
-            .select(*keys, F.explode("_viols").alias("_x"))
-            .select(*keys, *[F.col(f"_x.{f}").alias(f)
-                             for f in VIOLATION_FIELDS])
-        ))
-        pending = (
+        if stats["nv"]:
+            level_viols.append(_ckpt(
+                combined.where(F.size("_viols") > 0)
+                .select(*keys, F.explode("_viols").alias("_x"))
+                .select(*keys, *[F.col(f"_x.{f}").alias(f)
+                                 for f in VIOLATION_FIELDS])
+            )[0])
+        if stats["nc"] == 0:
+            _free(cids)  # no deeper frontier; violations already forced
+            prev_ids = set()
+            break
+        combined_lazy = next_combined(
             combined.where(F.col("_ch").isNotNull())
             .select(*keys, "_where",
                     F.posexplode("_ch").alias("_i", "_cv"))
@@ -221,6 +247,13 @@ def validate_json_recursive(
         prev_ids = cids
         depth += 1
 
+    if not level_viols:
+        # zero violations anywhere: a limit(0) projection in the exact
+        # output schema — OptimizeLimitZero folds it to an empty
+        # relation, so the final collect never touches the corpus
+        return (df.limit(0)
+                .select(*keys, viol(INVALID, where=None).alias("_x"))
+                .select(*keys, "_x.*"))
     viols = level_viols[0]
     for v in level_viols[1:]:
         viols = viols.unionByName(v)
@@ -230,41 +263,58 @@ def validate_json_recursive(
     # subtree JSON. Subtrees are re-derived in a SECOND descent restricted
     # to problem documents only (leftsemi prefilter) and to_json runs after
     # the path join — O(problem docs) bytes, no pass for a clean corpus.
-    anc = materialize(
+    # r7 action shape: the boundary set is lazy-checkpointed and probed
+    # by ONE aggregate (count + deepest path); each carrier level runs
+    # ONE action — a one-row crossJoin of the frontier count and the
+    # carrier count materializes both lazy checkpoints together.
+    anc, aids = _ckpt(
         viols.select(
             *keys,
             F.explode(_boundary_prefixes(F.col("where"),
                                          recurse_field)).alias("_path"),
-        ).distinct()
+        ).distinct(),
+        eager=False,
     )
-    if anc.isEmpty():
+    arow = anc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.split("_path", r"\."))).alias("m"),
+    ).collect()[0]
+    if arow["n"] == 0:
+        _free(aids)
         return viols
     # deepest boundary = half the max segment count ('field.idx' pairs);
     # the second descent stops THERE, not at the documents' full depth —
     # a deep clean tail below the last problem boundary is never walked.
-    # (One bounded collect: anc is the small cached boundary set.)
-    max_depth_needed = anc.agg(
-        F.max(F.size(F.split("_path", r"\."))).alias("m")
-    ).collect()[0]["m"] // 2
+    max_depth_needed = arow["m"] // 2
     prob_docs = anc.select(*keys).distinct()
     fr, fids = _ckpt(root_frontier(df.join(prob_docs, on=keys,
-                                           how="leftsemi")))
+                                           how="leftsemi")), eager=False)
     carrier_levels: list[DataFrame] = []
     for _lvl in range(max_depth_needed):
-        nxt, nids = _ckpt(descend(fr))
-        _free(fids)
-        fr, fids = nxt, nids
-        if fr.isEmpty():
-            break
-        carrier_levels.append(materialize(
-            fr.withColumnRenamed("_where", "_path")
+        nxt, nids = _ckpt(descend(fr), eager=False)
+        car, carids = _ckpt(
+            nxt.withColumnRenamed("_where", "_path")
             .join(anc, on=[*keys, "_path"])
             .select(*keys,
                     viol(INVALID, where=F.col("_path"),
                          value=F.to_json("_v")).alias("_x"))
-            .select(*keys, "_x.*")
-        ))
+            .select(*keys, "_x.*"),
+            eager=False,
+        )
+        crow = (nxt.agg(F.count(F.lit(1)).alias("a"))
+                .crossJoin(car.agg(F.count(F.lit(1)).alias("b")))
+                ).collect()[0]
+        _free(fids)
+        fr, fids = nxt, nids
+        if crow["a"] == 0:
+            _free(carids)
+            break
+        if crow["b"] == 0:
+            _free(carids)
+        else:
+            carrier_levels.append(car)
     _free(fids)
+    _free(aids)  # carrier frames are materialized; anc no longer needed
     for c in carrier_levels:
         viols = viols.unionByName(c)
     return viols
