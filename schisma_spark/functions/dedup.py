@@ -293,80 +293,6 @@ def cap_bucket_size(banded: DataFrame, key_cols: list[str], id_col: str,
     )
 
 
-def _bucket_pairs(
-    banded: DataFrame,
-    key_cols: list[str],
-    id_col: str,
-    payload_cols: tuple[str, ...] = (),
-    max_bucket_size: int | None = None,
-    drop_over: int | None = None,
-) -> DataFrame:
-    """``id_a < id_b`` candidate pairs per bucket from ONE evaluation of
-    ``banded`` (r7, guide §2.3/§2.4).
-
-    The renamed-branch self-join evaluated the banded frame — and the
-    signature/shingle expression feeding it — once per join side: Spark
-    plans trees, not DAGs, and the rename below the exchange defeats
-    ReusedExchange (measured: no reuse fires on any rename/alias/
-    pre-repartition shape). ``groupBy(bucket).collect_list`` + two
-    STREAMED explodes builds the same a<b pair set with one evaluation
-    and one shuffle instead of two. Per-bucket memory is O(bucket size)
-    ids (+ small payloads) in one row — the same degenerate-bucket
-    exposure the self-join had as single-task skew, with the same guard:
-    ``max_bucket_size`` keeps the deterministic (xxhash, id)-ordered
-    sample the row_number window kept (identical rows). ``drop_over``
-    drops buckets larger than the bound outright (the inverted-index
-    ``max_doc_freq`` semantics). NULL bucket keys and NULL ids drop
-    exactly as the inner self-join dropped them.
-
-    With ``payload_cols``, the output carries ``<c>_a`` / ``<c>_b``.
-    Pairs can repeat across buckets (same as the join) — dedup or count
-    downstream."""
-    cond = F.col(id_col).isNotNull()
-    for c in key_cols:
-        cond = cond & F.col(c).isNotNull()
-    fields = [F.col(id_col).alias("_bpid")] + [F.col(c) for c in
-                                               payload_cols]
-    if max_bucket_size is not None:
-        item = F.struct(F.xxhash64(*key_cols, id_col).alias("_ord"),
-                        *fields)
-    else:
-        item = F.struct(*fields)
-    grouped = (
-        banded.where(cond)
-        .groupBy(*[F.col(c) for c in key_cols])
-        .agg(F.collect_list(item).alias("_items"))
-        .where(F.size("_items") >= 2)
-    )
-    if drop_over is not None:
-        grouped = grouped.where(F.size("_items") <= drop_over)
-    items = F.array_sort(F.col("_items"))
-    if max_bucket_size is not None:
-        # keep the (xxhash, id)-ordered deterministic sample, then strip
-        # the sort key and re-sort by id so the generation below emits
-        # id_a < id_b directly
-        inner = ["_bpid", *payload_cols]
-        items = F.array_sort(
-            F.transform(
-                F.slice(items, 1, max_bucket_size),
-                lambda s: F.struct(*[s[f].alias(f) for f in inner]),
-            )
-        )
-    srt = grouped.select(items.alias("_sorted"))
-    a = srt.select(F.posexplode("_sorted").alias("_i", "_a"),
-                   F.col("_sorted"))
-    pairs = a.select(
-        F.col("_a"),
-        F.explode(F.slice(F.col("_sorted"), F.col("_i") + 2,
-                          F.size("_sorted"))).alias("_b"),
-    )
-    out = [F.col("_a._bpid").alias("id_a"), F.col("_b._bpid").alias("id_b")]
-    for c in payload_cols:
-        out.append(F.col(f"_a.{c}").alias(f"{c}_a"))
-        out.append(F.col(f"_b.{c}").alias(f"{c}_b"))
-    return pairs.select(*out)
-
-
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups by normalized-text fingerprint:
     ``fp, n_dups, min_id`` for groups of size >= 2. Only (fp, id) shuffles."""
@@ -562,11 +488,23 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("_id"),
         F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_idx", "band_hash"),
     )
-    # grouped pair generation (r7): ONE evaluation of the signature
-    # expression instead of one per self-join side — see _bucket_pairs
+    # NOTE (r7 negative result, kept for the record): a grouped
+    # collect_list + explode pair generator evaluates the signature once
+    # instead of once per self-join side, but measured 1.3-1.5x SLOWER
+    # interleaved in one session — the interpreted array machinery costs
+    # more than the second codegen'd signature pass at every tested
+    # shape. The renamed-branch hash join stays.
+    banded = cap_bucket_size(banded, ["band_idx", "band_hash"], "_id",
+                             max_bucket_size)
+    left = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_a")
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_b")
+    )
     return (
-        _bucket_pairs(banded, ["band_idx", "band_hash"], "_id",
-                      max_bucket_size=max_bucket_size)
+        left.join(right, on=["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -677,14 +615,14 @@ def containment_near_dups(
         )
 
     inv = hashed(base).select("_id", F.explode("hs").alias("h"))
-    # grouped pair generation (r7): the inverted-index self-join
-    # evaluated the md5 shingle pass once per side (and the old
-    # max_doc_freq anti-join a third time); _bucket_pairs hashes the
-    # corpus ONCE, and max_doc_freq becomes a free filter on the bucket
-    # size (identical semantics: a shingle in more than max_doc_freq
-    # docs contributes no candidates)
+    if max_doc_freq is not None:
+        hot = (inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+               .where(F.col("_df") > max_doc_freq).select("h"))
+        inv = inv.join(hot, "h", "left_anti")
     cands = (
-        _bucket_pairs(inv, ["h"], "_id", drop_over=max_doc_freq)
+        inv.select(F.col("h"), F.col("_id").alias("id_a"))
+        .join(inv.select(F.col("h"), F.col("_id").alias("id_b")), "h")
+        .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared"))
         .where(F.col("_shared") >= min_shared)
@@ -1328,11 +1266,15 @@ def hamming_near_dups(
     banded = s.select(
         "_id", "sig", F.posexplode(bands).alias("band_idx", "band_val")
     )
-    # grouped pair generation (r7): one evaluation of the signature, one
-    # shuffle — the sig rides the bucket items, so no verify join either
+    banded = cap_bucket_size(banded, ["band_idx", "band_val"], "_id",
+                             max_bucket_size)
+    a = banded.select("band_idx", "band_val", F.col("_id").alias("id_a"),
+                      F.col("sig").alias("sig_a"))
+    b = banded.select("band_idx", "band_val", F.col("_id").alias("id_b"),
+                      F.col("sig").alias("sig_b"))
     return (
-        _bucket_pairs(banded, ["band_idx", "band_val"], "_id",
-                      payload_cols=("sig",), max_bucket_size=max_bucket_size)
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
                 .alias("hamming"))
@@ -1382,10 +1324,15 @@ def simhash_near_dups(
     banded = s.select(
         "_id", "sig", F.posexplode(bands).alias("band_idx", "band_val")
     )
-    # grouped pair generation (r7) — see _bucket_pairs
+    banded = cap_bucket_size(banded, ["band_idx", "band_val"], "_id",
+                             max_bucket_size)
+    a = banded.select("band_idx", "band_val", F.col("_id").alias("id_a"),
+                      F.col("sig").alias("sig_a"))
+    b = banded.select("band_idx", "band_val", F.col("_id").alias("id_b"),
+                      F.col("sig").alias("sig_b"))
     return (
-        _bucket_pairs(banded, ["band_idx", "band_val"], "_id",
-                      payload_cols=("sig",), max_bucket_size=max_bucket_size)
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 hamming32(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)

@@ -285,15 +285,17 @@ def cosine_near_dups(
         F.col(id_col).alias("_id"),
         F.posexplode(sigs).alias("table_id", "bucket"),
     )
-    # grouped pair generation (r7): one evaluation of the hyperplane
-    # signatures instead of one per self-join side; max_bucket_size is
-    # the same deterministic hot-bucket sample as before — see
-    # dedup._bucket_pairs
-    from schisma_spark.functions.dedup import _bucket_pairs
+    # hot-bucket guard (near-constant embeddings collapse into one bucket
+    # and the self-join below goes O(b^2)) — deterministic unbiased sample
+    from schisma_spark.functions.dedup import cap_bucket_size
 
+    banded = cap_bucket_size(banded, ["table_id", "bucket"], "_id",
+                             max_bucket_size)
+    a = banded.select("table_id", "bucket", F.col("_id").alias("id_a"))
+    b = banded.select("table_id", "bucket", F.col("_id").alias("id_b"))
     cands = (
-        _bucket_pairs(banded, ["table_id", "bucket"], "_id",
-                      max_bucket_size=max_bucket_size)
+        a.join(b, on=["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
