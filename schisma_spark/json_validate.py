@@ -222,10 +222,12 @@ def conform_json(
                 branches.append(_render_value(kv, a))
             elif isinstance(a, ObjectAlt):
                 # variant paths must be foldable, so nested key sets go
-                # through one to_json/from_json round trip (the
-                # variant_validate.py:265 pattern); bind() so the map is
+                # through the map<string,variant> view; taken straight
+                # off the variant (r7 — no to_json/from_json round trip;
+                # probe-verified: JSON null stays a present VOID variant,
+                # absent keys stay SQL NULL). bind() so the map is
                 # computed once per node, not once per field reference
-                nested = F.from_json(F.to_json(kv), "map<string,variant>")
+                nested = F.try_variant_get(kv, "$", "map<string,variant>")
 
                 def _obj_branch(oa):
                     # one-arg lambda for bind(): a default-arg capture

@@ -171,6 +171,43 @@ def _child_struct(r: CheckRes) -> Column:
                     r.h.cast("int").alias("h"))
 
 
+def _node_struct(node: Node, kv: Column, where: Column,
+                 opts: Opts) -> Column:
+    """``struct(v, p, h)`` for one node over one value, with union
+    alternatives evaluated ONCE (r7).
+
+    Consuming a union node's ``CheckRes`` as three separate columns
+    re-evaluates every alternative per consumed field — the best-match
+    pick (``element_at(array(...), best)``) inlines the whole
+    alternative list into ``viols``, ``code`` AND ``h``, and interpreted
+    stages do no CSE, so a two-atom union field cost ~8
+    ``schema_of_variant`` evaluations per row. Building one let-bound
+    array of per-alternative (v, p, h) structs and picking the best
+    entry evaluates each alternative exactly once; the chosen struct's
+    ``h`` IS ``array_max`` (array_position takes the first maximum), so
+    the values are identical to the CheckRes composition."""
+    if node.validate is not None:
+        return _child_struct(check_variant_node(node, kv, where, opts))
+    results = [
+        _check_variant_alt(a, i if len(node.alts) > 1 else None, kv, where,
+                           opts)
+        for i, a in enumerate(node.alts)
+    ]
+    if not results:
+        return F.struct(empty_varr().alias("v"), F.lit(False).alias("p"),
+                        F.lit(1).cast("int").alias("h"))
+    if len(results) == 1:
+        return _child_struct(results[0])
+    per = [_child_struct(r) for r in results]
+
+    def pick(arr: Column) -> Column:
+        hs = F.transform(arr, lambda x: x["h"])
+        best = F.array_position(hs, F.array_max(hs)).cast("int")
+        return F.element_at(arr, best)
+
+    return bind(F.array(*per), pick)
+
+
 def _check_variant_array(alt: ArrayAlt, idx, kv: Column, where: Column,
                          opts: Opts) -> CheckRes:
     arr = F.try_variant_get(kv, "$", "array<variant>")
@@ -185,18 +222,19 @@ def _check_variant_array(alt: ArrayAlt, idx, kv: Column, where: Column,
 
         def elem_res(x: Column, i: Column) -> Column:
             w = F.concat_ws(".", where, i.cast("string"))
-            rs = [check_variant_node(s, x, w, opts) for s in alt.elems]
-            if len(rs) == 1:
-                return _child_struct(rs[0])
-            h_arr = F.array(*[r.h for r in rs])
-            b = F.array_position(h_arr, F.array_max(h_arr)).cast("int")
-            return F.struct(
-                F.element_at(F.array(*[r.viols for r in rs]), b).alias("v"),
-                F.element_at(
-                    F.array(*[is_problem(r.code) for r in rs]), b
-                ).alias("p"),
-                F.array_max(h_arr).alias("h"),
-            )
+            if len(alt.elems) == 1:
+                return _node_struct(alt.elems[0], x, w, opts)
+            # multi-schema elements: one bound array of (v, p, h)
+            # structs, each element schema evaluated once (r7 — the
+            # separate v/p/h picks re-evaluated every schema per field)
+            per = [_node_struct(s, x, w, opts) for s in alt.elems]
+
+            def pick(arr: Column) -> Column:
+                hs = F.transform(arr, lambda e: e["h"])
+                b = F.array_position(hs, F.array_max(hs)).cast("int")
+                return F.element_at(arr, b)
+
+            return bind(F.array(*per), pick)
 
         return bind(
             F.transform(a, elem_res),
@@ -249,9 +287,8 @@ def _check_variant_object(alt: ObjectAlt, idx, kv: Column, where: Column,
             # subexpression elimination) re-parsed the payload for every
             # reference — 8x on the violations explode (measured).
             def _field_contrib(ckv: Column) -> Column:
-                base = check_variant_node(child, ckv, w, opts)
                 return F.when(ckv.isNull(), missing).otherwise(
-                    _child_struct(base))
+                    _node_struct(child, ckv, w, opts))
 
             return _field_contrib
 
