@@ -153,10 +153,17 @@ def psi_from_histograms(
 
     Bins absent on one side get ``smooth`` pseudo-counts (add-smoothing
     BEFORE renormalization, the vocab_drift convention) so empty bins
-    stay finite instead of infinite. Computed entirely in Spark over the
-    tiny histogram frames (window totals, no driver collect); histograms
-    themselves are mergeable one-pass aggregates, so at 10^12 rows the
-    only full-corpus work is the two ``fixed_histogram`` scans."""
+    stay finite instead of infinite. NOTE (r7, ADVICE): smoothing covers
+    only bins OCCUPIED in the union of the two histograms —
+    ``fixed_histogram`` emits no empty bins, so the smoothing
+    denominator varies with bin occupancy, slightly off the
+    all-fixed-bins convention the documented 0.1/0.25 thresholds assume;
+    densify to the full bin range upstream when that convention matters
+    (the DuckDB oracle twin mirrors this occupied-bins behavior).
+    Computed entirely in Spark over the tiny histogram frames (window
+    totals, no driver collect); histograms themselves are mergeable
+    one-pass aggregates, so at 10^12 rows the only full-corpus work is
+    the two ``fixed_histogram`` scans."""
     group_by = list(group_by or [])
     a = current.groupBy(*group_by, bin_col).agg(F.sum(cnt_col).alias("ca"))
     b = baseline.groupBy(*group_by, bin_col).agg(F.sum(cnt_col).alias("cb"))

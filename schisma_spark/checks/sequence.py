@@ -38,8 +38,11 @@ def sequence_gaps(
     NULL sequence values are ignored (they order first and carry no
     integer position)."""
     key = list(key_cols)
-    w = Window.partitionBy(*key).orderBy(seq_col)
     s = F.col(seq_col).cast("long")
+    # order by the LONG-cast value (r7, ADVICE): a string-typed sequence
+    # column would sort lexicographically ('10' < '9') and produce wrong
+    # or missing gaps; integral columns order identically either way
+    w = Window.partitionBy(*key).orderBy(s)
     prev = F.lag(s).over(w)
     base = df.where(F.col(seq_col).isNotNull())
     if start is not None:

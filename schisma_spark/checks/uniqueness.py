@@ -48,17 +48,17 @@ def duplicate_keys(
     for k in key_cols[1:]:
         notnull = notnull & F.col(k).isNotNull()
     keyed = df.select(*key_cols).where(notnull)  # IsNotNull pushes to scan
-    if salt_buckets and salt_buckets > 1:
-        stage1 = (
-            keyed.withColumn(
-                "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
-            )
-            .groupBy(*key_cols, "_salt")
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
-        counts = stage1.groupBy(*key_cols).agg(F.sum("_c").alias("cnt"))
-    else:
-        counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    # r7: this function only ever computes COUNT, and for COUNT the
+    # module docstring's own measurements show the salted two-stage
+    # LOSES at every tested size (map-side partial aggregation already
+    # bounds a hot key's reducer load to one tiny row per map task;
+    # re-measured here: plain 0.72-0.78x the salted wall at 2M/600k
+    # rows, and 7.5 s vs 13.2 s at 40M in r2). ``salt_buckets`` stays in
+    # the signature as the documented no-op it has become for counts —
+    # salting remains the right tool only for LARGE aggregation state
+    # (collect_set / sketches), which this function never builds.
+    del salt_buckets
+    counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
     return counts.where(F.col("cnt") >= min_count)
 
 

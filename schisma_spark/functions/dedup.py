@@ -1528,7 +1528,11 @@ def remove_dup_spans(
                 F.explode(F.sequence(F.col("_pos"),
                                      F.col("_pos") + (k - 1)))
                 .alias("_t"))
-        .distinct()
+        # no distinct (r7): a left-anti probe side tolerates duplicate
+        # (id, pos) rows — overlapping windows cover the same token more
+        # than once — so the dedup aggregation was a pure extra pass
+        # (result-identical, A/B ~0.95x here, strictly less work at
+        # scale; the join shuffle itself is unchanged)
     )
     toks = base.select(id_col, F.posexplode("_w").alias("_t", "_term"))
     kept = toks.join(covered, [id_col, "_t"], "left_anti")

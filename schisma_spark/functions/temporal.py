@@ -136,7 +136,10 @@ def asof_join(
             c for c in right.columns if c not in on and c != right_ts
         ]
     right_cols = list(right_cols)
-    reserved = {"_t", "_tag", "_state", "_carried"}
+    # '_ts' guards the carried-struct timestamp field (r7, ADVICE): a
+    # right payload column literally named '_ts' would duplicate the
+    # matched-timestamp field inside the carried struct
+    reserved = {"_t", "_tag", "_state", "_carried", "_ts"}
     clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
     clash |= {f"{c}{suffix}" for c in [right_ts, *right_cols]} & set(
         left.columns)

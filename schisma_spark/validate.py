@@ -266,6 +266,13 @@ def incremental_validate(
     # join would then DROP it from validate_fn's input — incremental
     # would silently miss its violations (review finding). unchanged_ids
     # can never contain NULL (it requires a matched join row).
+    if "_did" in new_df.columns:
+        # the null-safe semi join below aliases the delta ids to '_did';
+        # a payload column of that name would make the join condition
+        # ambiguous (r7, ADVICE) — same guard style as asof_join
+        raise ValueError(
+            "incremental_validate: new_df column '_did' collides with an "
+            "internal name — rename before validating")
     fresh = validate_fn(
         new_df.join(
             delta_ids.withColumnRenamed(id_col, "_did"),
