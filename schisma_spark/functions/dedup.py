@@ -548,7 +548,8 @@ def minhash_near_dups(
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+        # no distinct (r7): a left-semi probe tolerates duplicate build
+        # rows, so the dedup was one extra exchange+stage for nothing
     )
     sh = df.join(cand_ids, id_col, "leftsemi").select(
         F.col(id_col).alias("_id"),
@@ -631,7 +632,7 @@ def containment_near_dups(
     cand_ids = (
         cands.select(F.col("id_a").alias("_cid"))
         .unionByName(cands.select(F.col("id_b").alias("_cid")))
-        .distinct()
+        # no distinct (r7): left-semi build side, duplicates harmless
     )
     # semi-join BEFORE hashing (the minhash_near_dups lesson): the
     # verify side re-hashes only documents that appear in a candidate
